@@ -1,0 +1,59 @@
+"""Column expansion + per-host slicing.
+
+Replicates the reference "expand" semantics (ref: src/common/module/expand_mod.F90):
+the input snapshot holds KLON (=100) columns; benchmark sizes NGPTOT >> KLON are
+produced by tiling the snapshot columns cyclically. When the requested global size
+exceeds the file size, every rank/host loads the *same* 100 columns (ref:
+expand_mod.F90:37-43, README.md:167-175) — which keeps multi-host results bitwise
+comparable to single-host runs and is preserved here as the multi-chip test fixture.
+
+Unlike the reference we do not reshape into (NPROMA, ..., NBLOCKS) blocks: on TPU
+the column axis stays flat and XLA/Pallas tiles it onto the 128-wide lane dimension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def get_offsets(klon_file: int, ngptot: int, ngptotg: int, rank: int, nranks: int):
+    """Per-rank (start, count) into the file columns.
+
+    True distribution only when the file has at least NGPTOTG columns; otherwise
+    every rank reads the full file and tiles it (ref: expand_mod.F90:30-46).
+    """
+    if klon_file >= ngptotg:
+        base = ngptotg // nranks
+        rem = ngptotg % nranks
+        start = rank * base + min(rank, rem)
+        count = base + (1 if rank < rem else 0)
+        return start, min(count, ngptot)
+    return 0, klon_file
+
+
+def expand_field(field: np.ndarray, ngptot: int) -> np.ndarray:
+    """Tile the trailing (column) axis cyclically out to ngptot columns.
+
+    Matches the reference expansion (ref: expand_mod.F90:237-334; python twin
+    src/cloudsc_python/src/cloudscf2py/inputs.py:23-34).
+    """
+    klon = field.shape[-1]
+    if klon == ngptot:
+        return field
+    reps = -(-ngptot // klon)  # ceil
+    tiled = np.tile(field, (1,) * (field.ndim - 1) + (reps,))
+    return np.ascontiguousarray(tiled[..., :ngptot])
+
+
+def pad_columns(field: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
+    """Zero-pad the trailing column axis to a multiple (TPU lane alignment).
+
+    Mirrors the reference's zero-padded tail block (ref: expand_mod.F90:264-265);
+    returns (padded, original_ncol).
+    """
+    ncol = field.shape[-1]
+    target = -(-ncol // multiple) * multiple
+    if target == ncol:
+        return field, ncol
+    pad = [(0, 0)] * (field.ndim - 1) + [(0, target - ncol)]
+    return np.pad(field, pad), ncol

@@ -1,0 +1,142 @@
+"""Input/reference I/O facade.
+
+Loads the CLOUDSC input state either from an HDF5 mirror (input.h5) or directly
+from the raw Serialbox archive (data/*.dat), mirroring the reference's compile-time
+HDF5/Serialbox switch at runtime (ref: src/common/module/file_io_mod.F90:49-72).
+Arrays are returned in the HDF5-mirror layout: (lev, col), (nclv, lev, col),
+(lev+1, col) — level-major with columns on the trailing (TPU lane) axis.
+
+Reference outputs come from config-files/reference.h5
+(dataset list: ref src/common/module/cloudsc_global_state_mod.F90:288-321).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from .expand import expand_field
+from .serialbox import load_input_archive
+
+# Input fields consumed by the kernel, in the reference load order
+# (ref: cloudsc_global_state_mod.F90:188-227).
+INPUT_FIELDS = [
+    "PLCRIT_AER", "PICRIT_AER", "PRE_ICE", "PCCN", "PNICE",
+    "PT", "PQ",
+    "PVFA", "PVFL", "PVFI", "PDYNA", "PDYNL", "PDYNI",
+    "PHRSW", "PHRLW", "PVERVEL", "PAP", "PAPH",
+    "PLSM", "LDCUM", "KTYPE",
+    "PLU", "PLUDE", "PSNDE", "PMFU", "PMFD",
+    "PA", "PCLV", "PSUPSAT",
+    "TENDENCY_CML_T", "TENDENCY_CML_Q", "TENDENCY_CML_A", "TENDENCY_CML_CLD",
+    "TENDENCY_TMP_T", "TENDENCY_TMP_Q", "TENDENCY_TMP_A", "TENDENCY_TMP_CLD",
+]
+
+# Validated output datasets, in the reference validation order
+# (ref: cloudsc_global_state_mod.F90:324-345).
+REFERENCE_FIELDS = [
+    "PLUDE", "PCOVPTOT", "PRAINFRAC_TOPRFZ",
+    "PFSQLF", "PFSQIF", "PFCQLNG", "PFCQNNG",
+    "PFSQRF", "PFSQSF", "PFCQRNG", "PFCQSNG",
+    "PFSQLTUR", "PFSQITUR",
+    "PFPLSL", "PFPLSN", "PFHPSL", "PFHPSN",
+    "TENDENCY_LOC_A", "TENDENCY_LOC_Q", "TENDENCY_LOC_T", "TENDENCY_LOC_CLD",
+]
+
+
+@dataclasses.dataclass
+class InputData:
+    """The full kernel input: fields expanded to ngptot columns + global scalars."""
+
+    fields: dict          # name -> np.ndarray, trailing axis = columns (ngptot)
+    scalars: dict         # all 173 global scalars from the archive
+    klon_file: int        # columns in the snapshot (100)
+    klev: int             # vertical levels (137)
+    ngptot: int           # expanded column count
+    ptsphy: float         # physics timestep
+
+    def astype(self, dtype) -> "InputData":
+        fields = {
+            k: (v.astype(dtype) if v.dtype.kind == "f" else v)
+            for k, v in self.fields.items()
+        }
+        return dataclasses.replace(self, fields=fields)
+
+
+def _load_raw(path: str | Path) -> tuple[dict, dict]:
+    """Load (fields, scalars) from either a .h5 file or a Serialbox directory."""
+    path = Path(path)
+    if path.is_dir():
+        return load_input_archive(path, "input")
+    import h5py
+
+    fields, scalars = {}, {}
+    with h5py.File(path, "r") as f:
+        for k in f.keys():
+            data = np.asarray(f[k])
+            if data.shape == (1,):
+                v = data[0]
+                scalars[k] = v.item() if hasattr(v, "item") else v
+            else:
+                fields[k] = data
+    return fields, scalars
+
+
+def load_input(path: str | Path, ngptot: int | None = None) -> InputData:
+    """Load the input snapshot and expand to ngptot columns.
+
+    `path` may be the reference's data/ directory (raw Serialbox archive) or an
+    input.h5 mirror. Expansion tiles the file columns cyclically
+    (ref: expand_mod.F90:237-334).
+    """
+    raw_fields, scalars = _load_raw(path)
+    klon = int(scalars["KLON"])
+    klev = int(scalars["KLEV"])
+    ngptot = ngptot or klon
+    fields = {}
+    for name in INPUT_FIELDS:
+        arr = raw_fields[name]
+        fields[name] = expand_field(arr, ngptot)
+    # Parameter tables stored as fields, not per-column data — no expansion
+    # (ref: yoecldp.F90:358-366 loads YRECLDP_RBETA(0:100)).
+    for name in ("YRECLDP_RBETA", "YRECLDP_RBETAP1"):
+        if name in raw_fields:
+            fields[name] = raw_fields[name]
+    return InputData(
+        fields=fields,
+        scalars=scalars,
+        klon_file=klon,
+        klev=klev,
+        ngptot=ngptot,
+        ptsphy=float(scalars["PTSPHY"]),
+    )
+
+
+def load_reference(path: str | Path, ngptot: int | None = None) -> dict:
+    """Load the golden outputs (reference.h5), optionally expanded to ngptot."""
+    import h5py
+
+    out = {}
+    with h5py.File(path, "r") as f:
+        for name in REFERENCE_FIELDS:
+            arr = np.asarray(f[name])
+            out[name] = expand_field(arr, ngptot) if ngptot else arr
+    return out
+
+
+def write_h5(path: str | Path, fields: dict, scalars: dict | None = None) -> None:
+    """Snapshot fields (+ scalars as shape-(1,) datasets) to HDF5.
+
+    The TPU-side equivalent of the reference's Serialbox write hooks used to
+    regenerate goldens (ref: src/prototype1/support/serialize_mod.F90:62-130,
+    serialbox2hdf5/serialbox2hdf5.py:41-48).
+    """
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        for name, arr in fields.items():
+            f.create_dataset(name, data=np.asarray(arr))
+        for name, val in (scalars or {}).items():
+            f.create_dataset(name, shape=(1,), data=np.array([val]))
