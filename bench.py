@@ -26,9 +26,13 @@ def main() -> int:
     if not on_tpu:
         jax.config.update("jax_enable_x64", False)
 
+    import cloudsc_tpu
+
+    cloudsc_tpu.enable_compilation_cache()
+
     from cloudsc_tpu.data import load_input
     from cloudsc_tpu.params import Params
-    from cloudsc_tpu.runtime.driver import CloudscDriver
+    from cloudsc_tpu.runtime.driver import CloudscDriver, sync
 
     ngptot = int(os.environ.get("CLOUDSC_BENCH_NGPTOT", 163840 if on_tpu else 8192))
     iters = int(os.environ.get("CLOUDSC_BENCH_ITERS", 10 if on_tpu else 2))
@@ -41,12 +45,12 @@ def main() -> int:
     fields, ncol = driver.prepare(inp)
     fields = jax.device_put(fields)
     jax.block_until_ready(fields)
-    out = jax.block_until_ready(driver._fn(fields))  # compile + warmup
+    out = sync(driver._fn(fields))  # compile + warmup
 
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(driver._fn(fields))
+        out = sync(driver._fn(fields))
         best = min(best, time.perf_counter() - t0)
 
     cols_per_s = ngptot / best

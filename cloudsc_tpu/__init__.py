@@ -13,6 +13,20 @@ Structure (mirrors the reference component inventory, re-designed TPU-first):
 
 __version__ = "0.1.0"
 
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist XLA compilations across processes (scheme graphs are large)."""
+    import os
+
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/cloudsc_tpu_xla_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 NCLV = 5
 # 0-based species indices (ref: src/common/module/yoecldp.F90:86-91, 1-based there)
 NCLDQL = 0  # liquid cloud water

@@ -56,6 +56,10 @@ def main(argv=None) -> int:
 
     dtype = jnp.float64 if precision == "fp64" else jnp.float32
 
+    from . import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .data import load_input, load_reference
     from .params import Params
     from .runtime.driver import CloudscDriver

@@ -239,44 +239,72 @@ def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
     plsm, ldcum, ktype = fields["plsm"], fields["ldcum"], fields["ktype"]
     land = plsm > 0.5
 
-    def shift_next(arr2d, fill=0.0):
-        """Rows jk+1 for jk in scan range; last row padded (guarded by masks)."""
-        return jnp.concatenate(
-            [arr2d[ktop + 1 :], jnp.full((1, ncol), fill, dtype)], axis=0
-        )
+    # The scan closes over the full (nlev, ncol) arrays and dynamic-slices the
+    # rows it needs (jk, jk-1, jk+1) — no shifted/stacked xs copies are ever
+    # materialized, which matters at benchmark sizes (dozens of ~90MB arrays).
+    # Out-of-range jk+1 reads clamp to the last row; every consumer masks them
+    # with `not_last`, mirroring the Fortran IF(JK<KLEV) guards.
+    _zqx_full = zqx
+    _tend_t_pre, _tend_q_pre = tend_t, tend_q
+    closure = dict(
+        ztp1=ztp1, za=za, zaorig=zaorig,
+        zqsmix=zqsmix, zqsliq=zqsliq, zqsice=zqsice,
+        zfoeew=zfoeew, zfoeewmt=zfoeewmt, zfoeeliqt=zfoeeliqt,
+        zfoealfa=zfoealfa, zli=zli, zliqfrac=zliqfrac, zicefrac=zicefrac,
+        pap=pap, paph=paph,
+        pmfu=fields["pmfu"], pmfd=fields["pmfd"],
+        pvervel=fields["pvervel"], phrsw=fields["phrsw"], phrlw=fields["phrlw"],
+        plude_in=fields["plude"], plu=fields["plu"], psnde=fields["psnde"],
+        psupsat=fields["psupsat"],
+        tend_t_pre=_tend_t_pre, tend_q_pre=_tend_q_pre,
+        pre_ice=fields["pre_ice"], picrit_aer=fields["picrit_aer"],
+        pnice=fields["pnice"], plcrit_aer=fields["plcrit_aer"],
+        pccn=fields["pccn"],
+    )
 
+    def make_x(k):
+        """Per-level view: rows at jk (and jk-1 / jk+1 where the scheme needs)."""
+        row = lambda name, off=0: jax.lax.dynamic_index_in_dim(
+            closure[name], k + off, axis=0, keepdims=False
+        )
+        x = {
+            "ztp1": row("ztp1"), "ztp1_prev": row("ztp1", -1),
+            "za": row("za"), "za_prev": row("za", -1), "zaorig": row("zaorig"),
+            "zqx": jnp.stack(
+                [
+                    jax.lax.dynamic_index_in_dim(_zqx_full[m], k, 0, keepdims=False)
+                    for m in range(NCLV)
+                ]
+            ),
+            "zqsmix": row("zqsmix"), "zqsliq": row("zqsliq"),
+            "zqsice": row("zqsice"), "zfoeew": row("zfoeew"),
+            "zfoeewmt": row("zfoeewmt"), "zfoeeliqt": row("zfoeeliqt"),
+            "zfoealfa": row("zfoealfa"), "zli": row("zli"),
+            "zliqfrac": row("zliqfrac"), "zicefrac": row("zicefrac"),
+            "pap": row("pap"), "pap_prev": row("pap", -1),
+            "paph": row("paph"), "paph_next": row("paph", 1),
+            "pmfu": row("pmfu"), "pmfd": row("pmfd"),
+            "pmfu_next": row("pmfu", 1), "pmfd_next": row("pmfd", 1),
+            "pvervel": row("pvervel"),
+            "phrsw": row("phrsw"), "phrlw": row("phrlw"),
+            "plude_in": row("plude_in"), "plu_next": row("plu", 1),
+            "psnde": row("psnde"), "psupsat": row("psupsat"),
+            "tend_t_pre": row("tend_t_pre"), "tend_q_pre": row("tend_q_pre"),
+            "not_first": k > ktop,
+            "not_last": k < nlev - 1,
+        }
+        if LAERICESED:
+            x["pre_ice"] = row("pre_ice")
+        if LAERICEAUTO:
+            x["picrit_aer"] = row("picrit_aer")
+            x["pnice"] = row("pnice")
+        if LAERLIQAUTOLSP or LAERLIQCOLL:
+            x["plcrit_aer"] = row("plcrit_aer")
+            x["pccn"] = row("pccn")
+        return x
+
+    xs = jnp.arange(ktop, nlev, dtype=jnp.int32)
     sl = slice(ktop, nlev)
-    xs = {
-        "ztp1": ztp1[sl], "ztp1_prev": ztp1[ktop - 1 : nlev - 1],
-        "za": za[sl], "za_prev": za[ktop - 1 : nlev - 1], "zaorig": zaorig[sl],
-        "zqx": jnp.stack([zqx[m][sl] for m in range(NCLV)], axis=1),
-        "zqsmix": zqsmix[sl], "zqsliq": zqsliq[sl], "zqsice": zqsice[sl],
-        "zfoeew": zfoeew[sl], "zfoeewmt": zfoeewmt[sl], "zfoeeliqt": zfoeeliqt[sl],
-        "zfoealfa": zfoealfa[sl],
-        "zli": zli[sl], "zliqfrac": zliqfrac[sl], "zicefrac": zicefrac[sl],
-        "pap": pap[sl], "pap_prev": pap[ktop - 1 : nlev - 1],
-        "paph": paph[ktop:nlev], "paph_next": paph[ktop + 1 : nlev + 1],
-        "pmfu": fields["pmfu"][sl], "pmfd": fields["pmfd"][sl],
-        "pmfu_next": shift_next(fields["pmfu"]),
-        "pmfd_next": shift_next(fields["pmfd"]),
-        "pvervel": fields["pvervel"][sl],
-        "phrsw": fields["phrsw"][sl], "phrlw": fields["phrlw"][sl],
-        "plude_in": fields["plude"][sl],
-        "plu_next": shift_next(fields["plu"]),
-        "psnde": fields["psnde"][sl],
-        "psupsat": fields["psupsat"][sl],
-        "tend_t_pre": tend_t[sl], "tend_q_pre": tend_q[sl],
-        "not_first": jnp.arange(nscan) > 0,
-        "not_last": jnp.arange(nscan) < nscan - 1,
-    }
-    if LAERICESED:
-        xs["pre_ice"] = fields["pre_ice"][sl]
-    if LAERICEAUTO:
-        xs["picrit_aer"] = fields["picrit_aer"][sl]
-        xs["pnice"] = fields["pnice"][sl]
-    if LAERLIQAUTOLSP or LAERLIQCOLL:
-        xs["plcrit_aer"] = fields["plcrit_aer"][sl]
-        xs["pccn"] = fields["pccn"][sl]
 
     carry0 = dict(
         zanewm1=zero,
@@ -289,7 +317,8 @@ def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
         prainfrac=zero,
     )
 
-    def step(carry, x):
+    def step(carry, k):
+        x = make_x(k)
         not_first = x["not_first"]
         not_last = x["not_last"]
         ztp1 = x["ztp1"]

@@ -21,6 +21,19 @@ from .timer import PerformanceTimer, Timings
 from .dist import column_mesh, shard_fields, sharded_cloudsc
 
 
+def sync(out):
+    """Force completion of a device computation.
+
+    jax.block_until_ready is not a reliable barrier on every backend (the
+    tunneled TPU platform acks before execution finishes), so fetch a small
+    output buffer — the transfer can only complete once the whole program has.
+    """
+    leaves = jax.tree_util.tree_leaves(out)
+    smallest = min(leaves, key=lambda x: getattr(x, "size", 0))
+    np.asarray(smallest)
+    return out
+
+
 class CloudscDriver:
     def __init__(self, params, ptsphy: float, dtype=None, nproma: int = 128,
                  mesh=None, use_mesh: bool = False):
@@ -78,7 +91,7 @@ class CloudscDriver:
 
         if warmup:
             t0 = time.perf_counter()
-            out = jax.block_until_ready(self._fn(fields))
+            out = sync(self._fn(fields))
             timings.compile_s = time.perf_counter() - t0
 
         ndev = self.mesh.devices.size if self.mesh is not None else 1
@@ -87,7 +100,7 @@ class CloudscDriver:
         t0 = time.perf_counter()
         for _ in range(iterations):
             out = self._fn(fields)
-        out = jax.block_until_ready(out)
+        out = sync(out)
         timings.compute_s = (time.perf_counter() - t0) / iterations
         timer.end()
         timer.log(0, timings.compute_s * iterations, ncol * iterations * ndev)

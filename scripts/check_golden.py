@@ -12,6 +12,10 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+import cloudsc_tpu
+
+cloudsc_tpu.enable_compilation_cache()
+
 from cloudsc_tpu.data import load_input, load_reference
 from cloudsc_tpu.params import Params
 from cloudsc_tpu.physics import cloudsc, make_inputs

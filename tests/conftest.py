@@ -2,8 +2,9 @@ import os
 import sys
 
 # Tests run on a virtual 8-device CPU mesh: sharding logic is validated without
-# TPU pods (the driver separately dry-runs the multi-chip path).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# TPU pods (the driver separately dry-runs the multi-chip path). Force CPU even
+# when a TPU platform is preset in the environment (fp64 goldens need CPU).
+os.environ["JAX_PLATFORMS"] = os.environ.get("CLOUDSC_TEST_PLATFORM", "cpu")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
@@ -13,6 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+import cloudsc_tpu  # noqa: E402
+
+cloudsc_tpu.enable_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
