@@ -1,29 +1,23 @@
 """The CLOUDSC prognostic cloud microphysics scheme, TPU-native formulation.
 
-This implements the full IFS Tiedtke/Forbes/Tompkins scheme — the behavioral spec
-is src/cloudsc_fortran/cloudsc.F90 in the reference (all ref: line numbers below
-point there). The *structure* is redesigned for XLA/TPU:
+This is the XLA execution engine for the scheme: the physics itself lives in
+`scheme.py` (shared with the fused Pallas TPU kernel). The behavioral spec is
+src/cloudsc_fortran/cloudsc.F90 in the reference (ref: line numbers point
+there). Structure, redesigned for XLA:
 
-  precompute   sections 0-2 — state init, tiny-value clipping, saturation curves,
-               tropopause — vectorized over (level, column)           [ref: 548-843]
-  level scan   sections 3-6 — one `lax.scan` over the vertical, carrying exactly
-               the JK->JK+1 recurrences (precip flux row, new cloud fraction and
-               species from the level above, precip cover memory, cloud-top
-               distance, rain-freeze latch)                           [ref: 854-2775]
+  precompute   sections 0-2 — state init, tiny-value clipping, saturation
+               curves, tropopause — `level_init` batched over (lev, col)
+               [ref: 548-843]
+  level scan   sections 3-6 — one `lax.scan` over the vertical calling
+               `level_step`, carrying exactly the JK->JK+1 recurrences
+               (precip flux row, new cloud fraction/species from the level
+               above, precip cover memory, cloud-top distance, rain-freeze
+               latch)                                          [ref: 854-2775]
   postcompute  section 8 — cumulative half-level flux diagnostics as
-               exclusive cumsums over levels                          [ref: 2780-2867]
+               cumsums over levels                             [ref: 2780-2867]
 
-Within the scan step, species-indexed quantities are unrolled into Python lists of
-(ncol,) arrays (NCLV=5 is static), the 5x5 implicit solve is an unrolled
-non-pivoting LU (ref: 2640-2668), and the conservation "run-out order" sort is a
-branch-free 5-step masked argmin (ref: 2502-2527). Columns live on the trailing
-axis — the TPU lane dimension — and are embarrassingly parallel, so the whole
-scheme vmaps/shards over them trivially.
-
-Floating-point note: operation order follows the Fortran statement order so that
-fp64 results match reference.h5 to ~1e-13 relative; fp32 runs use the same code
-path (the reference's SINGLE build split, ref: parkind1.F90:40-44, becomes a dtype
-parameter).
+Columns live on the trailing axis — the TPU lane dimension — and are
+embarrassingly parallel, so the scheme vmaps/shards over them trivially.
 """
 
 from __future__ import annotations
@@ -33,30 +27,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .thermo import (
-    foealfa,
-    foedelta,
-    foeeice,
-    foeeliq,
-    foeewm,
-    foedem,
-    foeldcpm,
-    fokoop,
-)
-
-# 0-based species indices (ref: yoecldp.F90:86-91)
-IL, II, IR, IS, IV = 0, 1, 2, 3, 4
-NCLV = 5
-# phase markers: 0=vapour 1=liquid 2=ice (ref: cloudsc.F90:603-607)
-IPHASE = (1, 2, 1, 2, 0)
-# melting targets (ref: cloudsc.F90:613-617)
-IMELT = (II, IR, IS, IR, -1)
-# falling species (rain, snow; ice sediments but LLFALL=false, ref: 640-651)
-LLFALL = (False, False, True, True, False)
-
-ZEPSEC = 1.0e-14  # ref: cloudsc.F90:589
-# numerical wet-bulb fit constants (ref: cloudsc.F90:421-425)
-ZTW1, ZTW2, ZTW3, ZTW4, ZTW5 = 1329.31, 0.0074615, 0.85e5, 40.637, 275.0
+from . import scheme
+from .scheme import IL, II, IR, IS, IV, NCLV
 
 
 class CloudscOutputs(NamedTuple):
@@ -108,120 +80,43 @@ def make_inputs(inp, dtype=jnp.float64) -> dict:
     }
 
 
-def _chain(terms):
-    """Left-to-right sum, preserving the Fortran accumulation order."""
-    acc = terms[0]
-    for t in terms[1:]:
-        acc = acc + t
-    return acc
-
-
 def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
     """One CLOUDSC step over all columns. Jit with params/ptsphy baked in, e.g.
     `jax.jit(lambda f: cloudsc(f, params, ptsphy))`.
     """
-    cst, thf, ecldp = params.ydcst, params.ydthf, params.ydecldp
-
-    # -- local bindings (the ASSOCIATE block, ref: cloudsc.F90:503-545) ------
-    RG, RD, RCPD, RETV = cst.rg, cst.rd, cst.rcpd, cst.retv
-    RLVTT, RLSTT, RLMLT, RTT, RV = cst.rlvtt, cst.rlstt, cst.rlmlt, cst.rtt, cst.rv
-    R4LES, R4IES, R5LES, R5IES = thf.r4les, thf.r4ies, thf.r5les, thf.r5ies
-    RALVDCP, RALSDCP, RALFDCP = thf.ralvdcp, thf.ralsdcp, thf.ralfdcp
-    e = ecldp
-    NCLDTOP = int(e.ncldtop)     # 1-based as in Fortran
-    NSSOPT = int(e.nssopt)
-    LAERICESED = bool(e.laericesed)
-    LAERICEAUTO = bool(e.laericeauto)
-    LAERLIQAUTOLSP = bool(e.laerliqautolsp)
-    LAERLIQCOLL = bool(e.laerliqcoll)
-
     pt = fields["pt"]
     dtype = pt.dtype
     nlev, ncol = pt.shape
-    ktop = NCLDTOP - 1           # 0-based first scan level
-    nscan = nlev - ktop
+    c = scheme.derived_consts(params, ptsphy, dtype)
+    ktop = c.NCLDTOP - 1           # 0-based first scan level
+    zqtmst = c.zqtmst
 
-    # scheme-version switches (ref: cloudsc.F90:562-580); only the default
-    # configuration (2/2/1/1) is wired — the alternates raise for now.
-    IWARMRAIN, IEVAPRAIN, IEVAPSNOW, IDEPICE = 2, 2, 1, 1
-
-    # simple derived constants (ref: 585-591)
-    zqtmst = 1.0 / ptsphy
-    zrdcp = RD / RCPD
-    zrg_r = 1.0 / RG
-    zrldcp = 1.0 / (RALSDCP - RALVDCP)
-    # 100*eps of the working precision (ref: 555)
-    zepsilon = 100.0 * float(jnp.finfo(dtype).eps)
-    zvqx = (0.0, e.rvice, e.rvrain, e.rvsnow, 0.0)  # fall speeds by species index
-
-    zero = jnp.zeros((ncol,), dtype)
     zeros2 = jnp.zeros((nlev, ncol), dtype)
 
     # ==================================================================
-    # 1. INITIAL VALUES (ref: 654-808) — vectorized over (lev, col)
+    # 1. INITIAL VALUES (ref: 654-808) — level_init batched over (lev, col)
     # ==================================================================
-    ztp1 = pt + ptsphy * fields["tendency_tmp_t"]
-    zqx = [None] * NCLV
-    zqx[IV] = fields["pq"] + ptsphy * fields["tendency_tmp_q"]
-    for m in (IL, II, IR, IS):
-        zqx[m] = fields["pclv"][m] + ptsphy * fields["tendency_tmp_cld"][m]
-    zqx0 = list(zqx)
-    za = fields["pa"] + ptsphy * fields["tendency_tmp_a"]
-    zaorig = za
-
-    tend_t = zeros2
-    tend_q = zeros2
-    zlneg = [zeros2] * NCLV
-
-    # tidy tiny cloud cover / total water (ref: 696-721)
-    cond = ((zqx[IL] + zqx[II]) < e.rlmin) | (za < e.ramin)
-    for m, lat in ((IL, RALVDCP), (II, RALSDCP)):
-        zlneg[m] = zlneg[m] + jnp.where(cond, zqx[m], 0.0)
-        zqadj = zqx[m] * zqtmst
-        tend_q = tend_q + jnp.where(cond, zqadj, 0.0)
-        tend_t = tend_t - jnp.where(cond, lat * zqadj, 0.0)
-        zqx[IV] = zqx[IV] + jnp.where(cond, zqx[m], 0.0)
-        zqx[m] = jnp.where(cond, 0.0, zqx[m])
-    za = jnp.where(cond, 0.0, za)
-
-    # tidy small CLV amounts (ref: 727-743)
-    for m in (IL, II, IR, IS):
-        c2 = zqx[m] < e.rlmin
-        zlneg[m] = zlneg[m] + jnp.where(c2, zqx[m], 0.0)
-        zqadj = zqx[m] * zqtmst
-        tend_q = tend_q + jnp.where(c2, zqadj, 0.0)
-        lat = RALVDCP if IPHASE[m] == 1 else RALSDCP
-        tend_t = tend_t - jnp.where(c2, lat * zqadj, 0.0)
-        zqx[IV] = zqx[IV] + jnp.where(c2, zqx[m], 0.0)
-        zqx[m] = jnp.where(c2, 0.0, zqx[m])
-
-    # saturation curves (ref: 749-784)
-    pap, paph = fields["pap"], fields["paph"]
-    zfoealfa = foealfa(ztp1, thf)
-    zfoeewmt = jnp.minimum(foeewm(ztp1, cst, thf) / pap, 0.5)
-    zqsmix = zfoeewmt / (1.0 - RETV * zfoeewmt)
-    zdelta = foedelta(ztp1, cst)
-    zfoeew = jnp.minimum(
-        (zdelta * foeeliq(ztp1, cst, thf) + (1.0 - zdelta) * foeeice(ztp1, cst, thf))
-        / pap,
-        0.5,
+    raw = dict(
+        pt=pt, pq=fields["pq"], pa=fields["pa"], pap=fields["pap"],
+        tendency_tmp_t=fields["tendency_tmp_t"],
+        tendency_tmp_q=fields["tendency_tmp_q"],
+        tendency_tmp_a=fields["tendency_tmp_a"],
+        pclv=[fields["pclv"][m] for m in range(4)],
+        tendency_tmp_cld=[fields["tendency_tmp_cld"][m] for m in range(4)],
     )
-    zfoeew = jnp.minimum(0.5, zfoeew)
-    zqsice = zfoeew / (1.0 - RETV * zfoeew)
-    zfoeeliqt = jnp.minimum(foeeliq(ztp1, cst, thf) / pap, 0.5)
-    zqsliq = zfoeeliqt / (1.0 - RETV * zfoeeliqt)
+    ini = scheme.level_init(raw, c)
+    zqx0 = ini["zqx0"]
+    zlneg = ini["zlneg"]
+    zfoealfa = ini["zfoealfa"]
+    tend_t_full, tend_q_full = ini["tend_t_pre"], ini["tend_q_pre"]
 
-    # cloud fraction in [0,1]; liquid/ice split (ref: 786-808)
-    za = jnp.maximum(0.0, jnp.minimum(1.0, za))
-    zli = zqx[IL] + zqx[II]
-    has_li = zli > e.rlmin
-    zliqfrac = jnp.where(has_li, zqx[IL] / jnp.where(has_li, zli, 1.0), 0.0)
-    zicefrac = jnp.where(has_li, 1.0 - zliqfrac, 0.0)
+    paph = fields["paph"]
+    paph_surf = paph[nlev]
 
     # ==================================================================
     # 2. tropopause level (ref: 821-832) — diagnostic only in this config
     # ==================================================================
-    paph_surf = paph[nlev]
+    pap, ztp1 = fields["pap"], ini["ztp1"]
     zsig = pap / paph_surf[None, :]
     trop_cond = (zsig[:-1] > 0.1) & (zsig[:-1] < 0.4) & (ztp1[:-1] > ztp1[1:])
     rev = trop_cond[::-1]
@@ -236,31 +131,33 @@ def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
     # ==================================================================
     # 3-6. THE VERTICAL SCAN (ref: 854-2775)
     # ==================================================================
-    plsm, ldcum, ktype = fields["plsm"], fields["ldcum"], fields["ktype"]
-    land = plsm > 0.5
+    land = fields["plsm"] > 0.5
+    ldcum, ktype = fields["ldcum"], fields["ktype"]
 
     # The scan closes over the full (nlev, ncol) arrays and dynamic-slices the
     # rows it needs (jk, jk-1, jk+1) — no shifted/stacked xs copies are ever
     # materialized, which matters at benchmark sizes (dozens of ~90MB arrays).
     # Out-of-range jk+1 reads clamp to the last row; every consumer masks them
     # with `not_last`, mirroring the Fortran IF(JK<KLEV) guards.
-    _zqx_full = zqx
-    _tend_t_pre, _tend_q_pre = tend_t, tend_q
     closure = dict(
-        ztp1=ztp1, za=za, zaorig=zaorig,
-        zqsmix=zqsmix, zqsliq=zqsliq, zqsice=zqsice,
-        zfoeew=zfoeew, zfoeewmt=zfoeewmt, zfoeeliqt=zfoeeliqt,
-        zfoealfa=zfoealfa, zli=zli, zliqfrac=zliqfrac, zicefrac=zicefrac,
+        ztp1=ini["ztp1"], za=ini["za"], zaorig=ini["zaorig"],
+        zqsmix=ini["zqsmix"], zqsliq=ini["zqsliq"], zqsice=ini["zqsice"],
+        zfoeew=ini["zfoeew"], zfoeewmt=ini["zfoeewmt"],
+        zfoeeliqt=ini["zfoeeliqt"],
+        zfoealfa=zfoealfa, zli=ini["zli"],
+        zliqfrac=ini["zliqfrac"], zicefrac=ini["zicefrac"],
         pap=pap, paph=paph,
         pmfu=fields["pmfu"], pmfd=fields["pmfd"],
-        pvervel=fields["pvervel"], phrsw=fields["phrsw"], phrlw=fields["phrlw"],
+        pvervel=fields["pvervel"], phrsw=fields["phrsw"],
+        phrlw=fields["phrlw"],
         plude_in=fields["plude"], plu=fields["plu"], psnde=fields["psnde"],
         psupsat=fields["psupsat"],
-        tend_t_pre=_tend_t_pre, tend_q_pre=_tend_q_pre,
+        tend_t_pre=tend_t_full, tend_q_pre=tend_q_full,
         pre_ice=fields["pre_ice"], picrit_aer=fields["picrit_aer"],
         pnice=fields["pnice"], plcrit_aer=fields["plcrit_aer"],
         pccn=fields["pccn"],
     )
+    _zqx_full = ini["zqx"]
 
     def make_x(k):
         """Per-level view: rows at jk (and jk-1 / jk+1 where the scheme needs)."""
@@ -270,12 +167,10 @@ def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
         x = {
             "ztp1": row("ztp1"), "ztp1_prev": row("ztp1", -1),
             "za": row("za"), "za_prev": row("za", -1), "zaorig": row("zaorig"),
-            "zqx": jnp.stack(
-                [
-                    jax.lax.dynamic_index_in_dim(_zqx_full[m], k, 0, keepdims=False)
-                    for m in range(NCLV)
-                ]
-            ),
+            "zqx": [
+                jax.lax.dynamic_index_in_dim(_zqx_full[m], k, 0, keepdims=False)
+                for m in range(NCLV)
+            ],
             "zqsmix": row("zqsmix"), "zqsliq": row("zqsliq"),
             "zqsice": row("zqsice"), "zfoeew": row("zfoeew"),
             "zfoeewmt": row("zfoeewmt"), "zfoeeliqt": row("zfoeeliqt"),
@@ -290,726 +185,30 @@ def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
             "plude_in": row("plude_in"), "plu_next": row("plu", 1),
             "psnde": row("psnde"), "psupsat": row("psupsat"),
             "tend_t_pre": row("tend_t_pre"), "tend_q_pre": row("tend_q_pre"),
+            "paph_surf": paph_surf, "land": land,
+            "ldcum": ldcum, "ktype": ktype,
             "not_first": k > ktop,
             "not_last": k < nlev - 1,
         }
-        if LAERICESED:
+        if c.LAERICESED:
             x["pre_ice"] = row("pre_ice")
-        if LAERICEAUTO:
+        if c.LAERICEAUTO:
             x["picrit_aer"] = row("picrit_aer")
             x["pnice"] = row("pnice")
-        if LAERLIQAUTOLSP or LAERLIQCOLL:
+        if c.LAERLIQAUTOLSP or c.LAERLIQCOLL:
             x["plcrit_aer"] = row("plcrit_aer")
             x["pccn"] = row("pccn")
         return x
 
     xs = jnp.arange(ktop, nlev, dtype=jnp.int32)
     sl = slice(ktop, nlev)
-
-    carry0 = dict(
-        zanewm1=zero,
-        zqxnm1=jnp.zeros((NCLV, ncol), dtype),
-        pfplsx=jnp.zeros((NCLV, ncol), dtype),   # flux arriving at current level
-        zcovptot=zero,
-        zcovpmax=zero,
-        zcldtopdist=zero,
-        llrainliq=jnp.ones((ncol,), bool),
-        prainfrac=zero,
-    )
+    carry0 = scheme.initial_carry(pt[0], c)
 
     def step(carry, k):
-        x = make_x(k)
-        not_first = x["not_first"]
-        not_last = x["not_last"]
-        ztp1 = x["ztp1"]
-        za = x["za"]
-        zqx = [x["zqx"][m] for m in range(NCLV)]
-        zqsmix, zqsliq, zqsice = x["zqsmix"], x["zqsliq"], x["zqsice"]
-        pap, paph, paph_next = x["pap"], x["paph"], x["paph_next"]
-        zfoealfa_k = x["zfoealfa"]
-        pfplsx_row = carry["pfplsx"]
-
-        def madd(mask, v):
-            return jnp.where(mask, v, 0.0)
-
-        # ---- 3.0 per-level init (ref: 854-983) --------------------------
-        zqxfg = list(zqx)
-        solqa = [[zero for _ in range(NCLV)] for _ in range(NCLV)]
-        solqb = [[zero for _ in range(NCLV)] for _ in range(NCLV)]
-        zfallsrce = [zero] * NCLV
-        zfallsink = [zero] * NCLV
-        zconvsrce = [zero] * NCLV
-        zconvsink = [zero] * NCLV
-        zpsupsatsrce = [zero] * NCLV
-        solab = zero
-        solac = zero
-
-        zdp = paph_next - paph
-        zgdp = RG / zdp
-        zrho = pap / (RD * ztp1)
-        zdtgdp = ptsphy * zgdp
-        zrdtgdp = zdp * (1.0 / (ptsphy * RG))
-
-        zfacw = R5LES / (ztp1 - R4LES) ** 2
-        zcor = 1.0 / (1.0 - RETV * x["zfoeeliqt"])
-        zdqsliqdt = zfacw * zcor * zqsliq
-        zcorqsliq = 1.0 + RALVDCP * zdqsliqdt
-
-        zfaci = R5IES / (ztp1 - R4IES) ** 2
-        zcor = 1.0 / (1.0 - RETV * x["zfoeew"])
-        zdqsicedt = zfaci * zcor * zqsice
-        zcorqsice = 1.0 + RALSDCP * zdqsicedt
-
-        zalfaw = zfoealfa_k
-        zfac = zalfaw * zfacw + (1.0 - zalfaw) * zfaci
-        zcor = 1.0 / (1.0 - RETV * x["zfoeewmt"])
-        zdqsmixdt = zfac * zcor * zqsmix
-        zcorqsmix = 1.0 + foeldcpm(ztp1, thf) * zdqsmixdt
-
-        zevaplimmix = jnp.maximum((zqsmix - zqx[IV]) / zcorqsmix, 0.0)
-        zevaplimice = jnp.maximum((zqsice - zqx[IV]) / zcorqsice, 0.0)
-
-        ztmpa = 1.0 / jnp.maximum(za, ZEPSEC)
-        zliqcld = zqx[IL] * ztmpa
-        zicecld = zqx[II] * ztmpa
-        zlicld = zliqcld + zicecld
-
-        # evaporate very small liquid/ice (ref: 971-983)
-        for m in (IL, II):
-            tiny = zqx[m] < e.rlmin
-            solqa[IV][m] = madd(tiny, zqx[m])
-            solqa[m][IV] = -madd(tiny, zqx[m])
-
-        # ---- 3.1 ice supersaturation adjustment (ref: 985-1088) ---------
-        zfokoop = fokoop(ztp1, cst, thf)
-        warm_or_off = (ztp1 >= RTT) | (NSSOPT == 0)
-        zfac = jnp.where(warm_or_off, 1.0, za + zfokoop * (1.0 - za))
-        zfaci = jnp.where(warm_or_off, 1.0, ptsphy / e.rkooptau)
-
-        high_a = za > 1.0 - e.ramin
-        zsup_cld = jnp.maximum((zqx[IV] - zfac * zqsice) / zcorqsice, 0.0)
-        zqp1env = (zqx[IV] - za * zqsice) / jnp.maximum(1.0 - za, zepsilon)
-        zsup_env = jnp.maximum(
-            (1.0 - za) * (zqp1env - zfac * zqsice) / zcorqsice, 0.0
-        )
-        zsupsat = jnp.where(high_a, zsup_cld, zsup_env)
-
-        has_sup = zsupsat > ZEPSEC
-        warm = ztp1 > e.rthomo
-        for m, w in ((IL, warm), (II, ~warm)):
-            amt = madd(has_sup & w, zsupsat)
-            solqa[m][IV] = solqa[m][IV] + amt
-            solqa[IV][m] = solqa[IV][m] - amt
-            zqxfg[m] = zqxfg[m] + amt
-        solac = jnp.where(has_sup, (1.0 - za) * zfaci, solac)
-
-        psupsat = x["psupsat"]
-        has_ps = psupsat > ZEPSEC
-        for m, w in ((IL, warm), (II, ~warm)):
-            amt = madd(has_ps & w, psupsat)
-            solqa[m][m] = solqa[m][m] + amt
-            zpsupsatsrce[m] = amt
-            zqxfg[m] = zqxfg[m] + amt
-        solac = jnp.where(has_ps, (1.0 - za) * zfaci, solac)
-
-        # ---- 3.2 detrainment from convection (ref: 1100-1127) -----------
-        plude_scaled = x["plude_in"] * zdtgdp
-        plu_next = x["plu_next"]
-        lcond = (
-            not_last & ldcum & (plude_scaled > e.rlmin) & (plu_next > ZEPSEC)
-        )
-        solac = solac + madd(lcond, plude_scaled / jnp.where(lcond, plu_next, 1.0))
-        zconvsrce[IL] = madd(lcond, zalfaw * plude_scaled)
-        zconvsrce[II] = madd(lcond, (1.0 - zalfaw) * plude_scaled)
-        solqa[IL][IL] = solqa[IL][IL] + zconvsrce[IL]
-        solqa[II][II] = solqa[II][II] + zconvsrce[II]
-        plude_out = jnp.where(
-            not_last, jnp.where(lcond, plude_scaled, 0.0), x["plude_in"]
-        )
-        solqa[IS][IS] = solqa[IS][IS] + madd(
-            not_last & ldcum, x["psnde"] * zdtgdp
-        )
-
-        # ---- 3.3 subsidence source + in-layer evaporation (ref: 1143-1194)
-        zmf = jnp.maximum(0.0, (x["pmfu"] + x["pmfd"]) * zdtgdp)
-        zacust = zmf * carry["zanewm1"]
-        zlcust = [zero] * NCLV
-        for m in (IL, II):
-            zlcust[m] = madd(not_first, zmf * carry["zqxnm1"][m])
-            zconvsrce[m] = zconvsrce[m] + zlcust[m]
-        zdtdp = zrdcp * 0.5 * (x["ztp1_prev"] + ztp1) / paph
-        zdtforc = zdtdp * (pap - x["pap_prev"])
-        zdqs_sub = carry["zanewm1"] * zdtforc * zdqsmixdt
-        zlfinalsum = zero
-        for m in (IL, II):
-            zlfinal = jnp.maximum(0.0, zlcust[m] - zdqs_sub)
-            zevap = jnp.minimum(zlcust[m] - zlfinal, zevaplimmix)
-            zlfinal = zlcust[m] - zevap
-            zlfinalsum = zlfinalsum + madd(not_first, zlfinal)
-            solqa[m][m] = solqa[m][m] + madd(not_first, zlcust[m])
-            solqa[IV][m] = solqa[IV][m] + madd(not_first, zevap)
-            solqa[m][IV] = solqa[m][IV] - madd(not_first, zevap)
-        zacust = jnp.where(zlfinalsum < ZEPSEC, 0.0, zacust)
-        solac = solac + madd(not_first, zacust)
-
-        # subsidence sink to layer below (ref: 1201-1217)
-        zmfdn = madd(
-            not_last,
-            jnp.maximum(0.0, (x["pmfu_next"] + x["pmfd_next"]) * zdtgdp),
-        )
-        solab = solab + zmfdn
-        solqb[IL][IL] = solqb[IL][IL] + zmfdn
-        solqb[II][II] = solqb[II][II] + zmfdn
-        zconvsink[IL] = zmfdn
-        zconvsink[II] = zmfdn
-
-        # ---- 3.4 turbulent erosion (ref: 1230-1261) ----------------------
-        zldifdt = jnp.where(
-            (ktype > 0) & (plude_out > ZEPSEC),
-            e.rcldiff_convi * e.rcldiff * ptsphy,
-            e.rcldiff * ptsphy,
-        )
-        has_cld = x["zli"] > ZEPSEC
-        ze = zldifdt * jnp.maximum(zqsmix - zqx[IV], 0.0)
-        zleros = za * ze
-        zleros = jnp.minimum(zleros, zevaplimmix)
-        zleros = jnp.minimum(zleros, x["zli"])
-        zaeros = zleros / jnp.where(has_cld, zlicld, 1.0)
-        solac = solac - madd(has_cld, zaeros)
-        for m, frac in ((IL, x["zliqfrac"]), (II, x["zicefrac"])):
-            amt = madd(has_cld, frac * zleros)
-            solqa[IV][m] = solqa[IV][m] + amt
-            solqa[m][IV] = solqa[m][IV] - amt
-
-        # ---- 3.4b condensation/evaporation from dqsat/dt (ref: 1281-1325)
-        zdtdp = zrdcp * ztp1 / pap
-        zdpmxdt = zdp * zqtmst
-        zmfdn2 = madd(not_last, x["pmfu_next"] + x["pmfd_next"])
-        zwtot = x["pvervel"] + 0.5 * RG * (x["pmfu"] + x["pmfd"] + zmfdn2)
-        zwtot = jnp.minimum(zdpmxdt, jnp.maximum(-zdpmxdt, zwtot))
-        zzzdt = x["phrsw"] + x["phrlw"]
-        zdtdiab = (
-            jnp.minimum(zdpmxdt * zdtdp, jnp.maximum(-zdpmxdt * zdtdp, zzzdt))
-            * ptsphy
-        )  # + RALFDCP*ZLDEFR, with ZLDEFR==0 (ref: 1290-1293)
-        zdtforc = zdtdp * zwtot * ptsphy + zdtdiab
-        tloc = jnp.maximum(ztp1 + zdtforc, 160.0)
-        qloc = zqsmix
-        zqp = 1.0 / pap
-        for _ in range(2):  # inlined CUADJTQ, 2 Newton iterations (ref: 1303-1319)
-            zqsat = jnp.minimum(foeewm(tloc, cst, thf) * zqp, 0.5)
-            zcor_n = 1.0 / (1.0 - RETV * zqsat)
-            zqsat = zqsat * zcor_n
-            zcond = (qloc - zqsat) / (1.0 + zqsat * zcor_n * foedem(tloc, thf))
-            tloc = tloc + foeldcpm(tloc, thf) * zcond
-            qloc = qloc - zcond
-        zdqs = qloc - zqsmix
-
-        # 3.4a evaporation of clouds (ref: 1333-1356)
-        evap_m = zdqs > 0.0
-        zlevap = za * jnp.minimum(zdqs, zlicld)
-        zlevap = jnp.minimum(zlevap, zevaplimmix)
-        zlevap = jnp.minimum(zlevap, jnp.maximum(zqsmix - zqx[IV], 0.0))
-        for m, frac in ((IL, x["zliqfrac"]), (II, x["zicefrac"])):
-            amt = madd(evap_m, frac * zlevap)
-            solqa[IV][m] = solqa[IV][m] + amt
-            solqa[m][IV] = solqa[m][IV] - amt
-
-        # 3.4b(1) increase of cloud water in existing clouds (ref: 1362-1396)
-        c1m = (za > ZEPSEC) & (zdqs <= -e.rlmin)
-        zlcond1 = jnp.maximum(-zdqs, 0.0)
-        zcorq = 1.0 / (1.0 - RETV * zqsmix)
-        zcdmax = jnp.where(
-            za > 0.99,
-            (zqx[IV] - zqsmix) / (1.0 + zcorq * zqsmix * foedem(ztp1, thf)),
-            (zqx[IV] - za * zqsmix) / jnp.where(c1m, za, 1.0),
-        )
-        zlcond1 = jnp.maximum(jnp.minimum(zlcond1, zcdmax), 0.0)
-        zlcond1 = za * zlcond1
-        zlcond1 = jnp.where(zlcond1 < e.rlmin, 0.0, zlcond1)
-        for m, w in ((IL, warm), (II, ~warm)):
-            amt = madd(c1m & w, zlcond1)
-            solqa[m][IV] = solqa[m][IV] + amt
-            solqa[IV][m] = solqa[IV][m] - amt
-            zqxfg[m] = zqxfg[m] + amt
-
-        # 3.4b(2) generation of new clouds (ref: 1400-1499)
-        c2m = (zdqs <= -e.rlmin) & (za < 1.0 - ZEPSEC)
-        zsigk = pap / paph_surf
-        zrhc = jnp.where(
-            zsigk > 0.8,
-            e.ramid + (1.0 - e.ramid) * ((zsigk - 0.8) / 0.2) ** 2,
-            e.ramid,
-        )
-        if NSSOPT in (0, 1):  # none / Tompkins
-            zqe = (zqx[IV] - za * zqsice) / jnp.maximum(ZEPSEC, 1.0 - za)
-            zqe = jnp.maximum(0.0, zqe)
-        elif NSSOPT == 2:  # Lohmann and Karcher
-            zqe = zqx[IV]
-        else:  # Gierens
-            zqe = zqx[IV] + x["zli"]
-        zfac2 = jnp.where((ztp1 >= RTT) | (NSSOPT == 0), 1.0, zfokoop)
-        in_range = (zqe >= zrhc * zqsice * zfac2) & (zqe < zqsice * zfac2)
-        c2m = c2m & in_range
-        zacond = (
-            -(1.0 - za) * zfac2 * zdqs
-            / jnp.maximum(2.0 * (zfac2 * zqsice - zqe), ZEPSEC)
-        )
-        zacond = jnp.minimum(zacond, 1.0 - za)
-        zlcond2 = -zfac2 * zdqs * 0.5 * zacond
-        zzdl = 2.0 * (zfac2 * zqsice - zqe) / jnp.maximum(ZEPSEC, 1.0 - za)
-        zlcondlim = (za - 1.0) * zfac2 * zdqs - zfac2 * zqsice + zqx[IV]
-        zlcond2 = jnp.where(
-            zfac2 * zdqs < -zzdl, jnp.minimum(zlcond2, zlcondlim), zlcond2
-        )
-        zlcond2 = jnp.maximum(zlcond2, 0.0)
-        kill = (zlcond2 < e.rlmin) | ((1.0 - za) < ZEPSEC)
-        zlcond2 = jnp.where(kill, 0.0, zlcond2)
-        zacond = jnp.where(kill | (zlcond2 == 0.0), 0.0, zacond)
-        solac = solac + madd(c2m, zacond)
-        for m, w in ((IL, warm), (II, ~warm)):
-            amt = madd(c2m & w, zlcond2)
-            solqa[m][IV] = solqa[m][IV] + amt
-            solqa[IV][m] = solqa[IV][m] - amt
-            zqxfg[m] = zqxfg[m] + amt
-
-        # ---- 3.7 ice deposition, Rotstayn 2001 (ref: 1519-1601) ----------
-        reset_top = (x["za_prev"] < e.rcldtopcf) & (za >= e.rcldtopcf)
-        zcldtopdist = jnp.where(
-            reset_top, 0.0, carry["zcldtopdist"] + zdp / (zrho * RG)
-        )
-        dep_m = (ztp1 < RTT) & (zqxfg[IL] > e.rlmin)
-        zvpice = foeeice(ztp1, cst, thf) * RV / RD
-        zvpliq = zvpice * zfokoop
-        zicenuclei = 1000.0 * jnp.exp(
-            12.96 * (zvpliq - zvpice) / zvpliq - 0.639
-        )
-        zadd = RLSTT * (RLSTT / (RV * ztp1) - 1.0) / (2.4e-2 * ztp1)
-        zbdd = RV * ztp1 * pap / (2.21 * zvpice)
-        zcvds = (
-            7.8
-            * (zicenuclei / zrho) ** 0.666
-            * (zvpliq - zvpice)
-            / (8.87 * (zadd + zbdd) * zvpice)
-        )
-        zice0 = jnp.maximum(zicecld, zicenuclei * e.riceinit / zrho)
-        zinew = (0.666 * zcvds * ptsphy + zice0**0.666) ** 1.5
-        zdepos = jnp.maximum(za * (zinew - zice0), 0.0)
-        zdepos = jnp.minimum(zdepos, zqxfg[IL])
-        zinfactor = jnp.minimum(zicenuclei / 15000.0, 1.0)
-        zdepos = zdepos * jnp.minimum(
-            zinfactor
-            + (1.0 - zinfactor)
-            * (e.rdepliqrefrate + zcldtopdist / e.rdepliqrefdepth),
-            1.0,
-        )
-        amt = madd(dep_m, zdepos)
-        solqa[II][IL] = solqa[II][IL] + amt
-        solqa[IL][II] = solqa[IL][II] - amt
-        zqxfg[II] = zqxfg[II] + amt
-        zqxfg[IL] = zqxfg[IL] - amt
-
-        # ==============================================================
-        # 4. PRECIPITATION PROCESSES
-        # ==============================================================
-        # revised in-cloud condensate (ref: 1700-1705)
-        ztmpa = 1.0 / jnp.maximum(za, ZEPSEC)
-        zliqcld = zqxfg[IL] * ztmpa
-        zicecld = zqxfg[II] * ztmpa
-        zlicld = zliqcld + zicecld
-
-        # 4.2 sedimentation source/sink (ref: 1714-1749)
-        zqpretot = zero
-        for m in (II, IR, IS):
-            zfallsrce[m] = madd(not_first, pfplsx_row[m] * zdtgdp)
-            solqa[m][m] = solqa[m][m] + zfallsrce[m]
-            zqxfg[m] = zqxfg[m] + zfallsrce[m]
-            zqpretot = zqpretot + madd(not_first, zqxfg[m])
-            if m == II and LAERICESED:
-                vq = 0.002 * x["pre_ice"]
-            else:
-                vq = zvqx[m]
-            zfallsink[m] = zdtgdp * (vq * zrho)
-
-        # 4.3p precip cover overlap, MAX-RAN (ref: 1767-1784)
-        has_pre = zqpretot > ZEPSEC
-        zcovptot = carry["zcovptot"]
-        zcovptot_new = 1.0 - (
-            (1.0 - zcovptot)
-            * (1.0 - jnp.maximum(za, x["za_prev"]))
-            / (1.0 - jnp.minimum(x["za_prev"], 1.0 - 1.0e-6))
-        )
-        zcovptot = jnp.where(has_pre, jnp.maximum(zcovptot_new, e.rcovpmin), 0.0)
-        zcovpclr = jnp.where(has_pre, jnp.maximum(0.0, zcovptot - za), 0.0)
-        covp_safe = jnp.where(has_pre, zcovptot, 1.0)
-        zraincld = jnp.where(has_pre, zqxfg[IR] / covp_safe, 0.0)
-        zsnowcld = jnp.where(has_pre, zqxfg[IS] / covp_safe, 0.0)
-        zcovpmax = jnp.where(
-            has_pre, jnp.maximum(zcovptot, carry["zcovpmax"]), 0.0
-        )
-
-        # 4.3a snow autoconversion, Lin et al. 1983 (ref: 1789-1811)
-        snow_m = (ztp1 <= RTT) & (zicecld > ZEPSEC)
-        zzco = ptsphy * e.rsnowlin1 * jnp.exp(e.rsnowlin2 * (ztp1 - RTT))
-        if LAERICEAUTO:
-            zlcrit = x["picrit_aer"]
-            zzco = zzco * (e.rnice / x["pnice"]) ** 0.333
-        else:
-            zlcrit = e.rlcritsnow
-        zsnowaut = zzco * (1.0 - jnp.exp(-((zicecld / zlcrit) ** 2)))
-        solqb[IS][II] = solqb[IS][II] + madd(snow_m, zsnowaut)
-
-        # 4.3b warm-rain autoconversion/accretion (ref: 1819-1927)
-        liq_m = zliqcld > ZEPSEC
-        if IWARMRAIN == 2:  # Khairoutdinov and Kogan (2000)
-            zconst = jnp.where(
-                land, e.rcl_kk_cloud_num_land, e.rcl_kk_cloud_num_sea
-            )
-            zlcrit = jnp.where(land, e.rclcrit_land, e.rclcrit_sea)
-            above = zliqcld > zlcrit
-            zrainaut = (
-                1.5 * za * ptsphy
-                * e.rcl_kkaau
-                * jnp.maximum(zliqcld, 0.0) ** e.rcl_kkbauq
-                * zconst ** e.rcl_kkbaun
-            )
-            zrainaut = jnp.minimum(zrainaut, zqxfg[IL])
-            zrainaut = jnp.where(zrainaut < ZEPSEC, 0.0, zrainaut)
-            zrainacc = (
-                2.0 * za * ptsphy
-                * e.rcl_kkaac
-                * jnp.maximum(zliqcld * zraincld, 0.0) ** e.rcl_kkbac
-            )
-            zrainacc = jnp.minimum(zrainacc, zqxfg[IL])
-            zrainacc = jnp.where(zrainacc < ZEPSEC, 0.0, zrainacc)
-            zrainaut = jnp.where(above, zrainaut, 0.0)
-            zrainacc = jnp.where(above, zrainacc, 0.0)
-            cold = ztp1 <= RTT
-            for dst, sel in ((IS, cold), (IR, ~cold)):
-                mm = liq_m & sel
-                solqa[dst][IL] = solqa[dst][IL] + madd(mm, zrainaut)
-                solqa[dst][IL] = solqa[dst][IL] + madd(mm, zrainacc)
-                solqa[IL][dst] = solqa[IL][dst] - madd(mm, zrainaut)
-                solqa[IL][dst] = solqa[IL][dst] - madd(mm, zrainacc)
-        else:
-            raise NotImplementedError("IWARMRAIN=1 (Sundqvist) not wired")
-
-        # riming: snow collects cloud liquid (ref: 1935-1980)
-        rime_m = (ztp1 <= RTT) & (zliqcld > ZEPSEC)
-        zfallcorr = (e.rdensref / zrho) ** 0.4
-        rime2 = rime_m & (zsnowcld > ZEPSEC) & (zcovptot > 0.01)
-        rime_base = jnp.maximum(zrho * zsnowcld * e.rcl_const1s, 0.0)
-        zsnowrime = (
-            0.3 * zcovptot * ptsphy * e.rcl_const7s * zfallcorr
-            * rime_base ** e.rcl_const8s
-        )
-        zsnowrime = jnp.minimum(zsnowrime, 1.0)
-        solqb[IS][IL] = solqb[IS][IL] + madd(rime2, zsnowrime)
-
-        # 4.4a melting of snow and ice (ref: 1990-2034)
-        zicetot = zqxfg[II] + zqxfg[IS]
-        melt_m = (zicetot > ZEPSEC) & (ztp1 > RTT)
-        zsubsat = jnp.maximum(zqsice - zqx[IV], 0.0)
-        ztdmtw0 = ztp1 - RTT - zsubsat * (
-            ZTW1 + ZTW2 * (pap - ZTW3) - ZTW4 * (ztp1 - ZTW5)
-        )
-        zcons1 = jnp.abs(ptsphy * (1.0 + 0.5 * ztdmtw0) / e.rtaumel)
-        zmeltmax = madd(melt_m, jnp.maximum(ztdmtw0 * zcons1 * zrldcp, 0.0))
-        for m in (II, IS):
-            n = IMELT[m]
-            mm = (zmeltmax > ZEPSEC) & (zicetot > ZEPSEC)
-            zalfa_m = zqxfg[m] / jnp.where(mm, zicetot, 1.0)
-            zmelt = jnp.minimum(zqxfg[m], zalfa_m * zmeltmax)
-            amt = madd(mm, zmelt)
-            zqxfg[m] = zqxfg[m] - amt
-            zqxfg[n] = zqxfg[n] + amt
-            solqa[n][m] = solqa[n][m] + amt
-            solqa[m][n] = solqa[m][n] - amt
-
-        # 4.4b freezing of rain (ref: 2039-2094)
-        rain_p = zqx[IR] > ZEPSEC
-        latch = rain_p & (ztp1 <= RTT) & (x["ztp1_prev"] > RTT)
-        zqpretot_f = jnp.maximum(zqx[IS] + zqx[IR], ZEPSEC)
-        prainfrac = jnp.where(latch, zqx[IR] / zqpretot_f, carry["prainfrac"])
-        llrainliq = jnp.where(latch, prainfrac > 0.8, carry["llrainliq"])
-        frz_cold = rain_p & (ztp1 < RTT)
-        lam_den = jnp.where(rain_p, zrho * zqx[IR], 1.0)
-        zlambda = (e.rcl_fac1 / lam_den) ** e.rcl_fac2
-        ztemp = e.rcl_fzrab * (ztp1 - RTT)
-        zfrz_het = (
-            ptsphy * (e.rcl_const5r / zrho)
-            * (jnp.exp(ztemp) - 1.0)
-            * zlambda ** e.rcl_const6r
-        )
-        zfrzmax_liq = jnp.maximum(zfrz_het, 0.0)
-        zcons1f = jnp.abs(ptsphy * (1.0 + 0.5 * (RTT - ztp1)) / e.rtaumel)
-        zfrzmax_mix = jnp.maximum((RTT - ztp1) * zcons1f * zrldcp, 0.0)
-        zfrzmax = jnp.where(llrainliq, zfrzmax_liq, zfrzmax_mix)
-        frz_m = frz_cold & (zfrzmax > ZEPSEC)
-        zfrz = jnp.minimum(zqx[IR], zfrzmax)
-        amt = madd(frz_m, zfrz)
-        solqa[IS][IR] = solqa[IS][IR] + amt
-        solqa[IR][IS] = solqa[IR][IS] - amt
-
-        # 4.4c freezing of liquid (ref: 2099-2112)
-        zfrzmax = jnp.maximum((e.rthomo - ztp1) * zrldcp, 0.0)
-        frz_m = (zfrzmax > ZEPSEC) & (zqxfg[IL] > ZEPSEC)
-        zfrz = jnp.minimum(zqxfg[IL], zfrzmax)
-        amt = madd(frz_m, zfrz)
-        solqa[II][IL] = solqa[II][IL] + amt
-        solqa[IL][II] = solqa[IL][II] - amt
-
-        # 4.5 rain evaporation, Abel and Boutle 2013 (ref: 2192-2279)
-        if IEVAPRAIN == 2:
-            zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
-                ZEPSEC, 1.0 - za
-            )
-            zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
-            zzrh = jnp.minimum(0.8, zzrh)
-            zqe = jnp.maximum(0.0, jnp.minimum(zqx[IV], zqsliq))
-            llo1 = (
-                (zcovpclr > ZEPSEC)
-                & (zqxfg[IR] > ZEPSEC)
-                & (zqe < zzrh * zqsliq)
-            )
-            zpreclr = zqxfg[IR] / jnp.where(llo1, zcovptot, 1.0)
-            zesatliq = RV / RD * foeeliq(ztp1, cst, thf)
-            lam_den = jnp.where(llo1, zrho * zpreclr, 1.0)
-            zlambda = (e.rcl_fac1 / lam_den) ** e.rcl_fac2
-            # T**3._JPRB in the Fortran is a *real* power (libm pow), not x*x*x
-            zevap_denom = (
-                e.rcl_cdenom1 * zesatliq
-                - e.rcl_cdenom2 * ztp1 * zesatliq
-                + e.rcl_cdenom3 * jnp.power(ztp1, 3.0) * pap
-            )
-            zcorr2 = (ztp1 / 273.0) ** 1.5 * 393.0 / (ztp1 + 120.0)
-            zsubsat = jnp.maximum(zzrh * zqsliq - zqe, 0.0)
-            zbeta = (
-                (0.5 / zqsliq) * ztp1**2 * zesatliq
-                * e.rcl_const1r
-                * (zcorr2 / zevap_denom)
-                * (
-                    0.78 / zlambda ** e.rcl_const4r
-                    + e.rcl_const2r
-                    * (zrho * zfallcorr) ** 0.5
-                    / (zcorr2**0.5 * zlambda ** e.rcl_const3r)
-                )
-            )
-            zdenom = 1.0 + zbeta * ptsphy
-            zdpevap = zcovpclr * zbeta * ptsphy * zsubsat / zdenom
-            zevap = jnp.minimum(zdpevap, zqxfg[IR])
-            amt = madd(llo1, zevap)
-            solqa[IV][IR] = solqa[IV][IR] + amt
-            solqa[IR][IV] = solqa[IR][IV] - amt
-            zcovptot = jnp.where(
-                llo1,
-                jnp.maximum(
-                    e.rcovpmin,
-                    zcovptot
-                    - jnp.maximum(
-                        0.0,
-                        (zcovptot - za) * zevap / jnp.where(llo1, zqxfg[IR], 1.0),
-                    ),
-                ),
-                zcovptot,
-            )
-            zqxfg[IR] = zqxfg[IR] - amt
-        else:
-            raise NotImplementedError("IEVAPRAIN=1 (Sundqvist) not wired")
-
-        # 4.5 snow sublimation, Sundqvist (ref: 2289-2347)
-        if IEVAPSNOW == 1:
-            zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
-                ZEPSEC, 1.0 - za
-            )
-            zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
-            zqe = (zqx[IV] - za * zqsice) / jnp.maximum(ZEPSEC, 1.0 - za)
-            zqe = jnp.maximum(0.0, jnp.minimum(zqe, zqsice))
-            llo1 = (
-                (zcovpclr > ZEPSEC)
-                & (zqxfg[IS] > ZEPSEC)
-                & (zqe < zzrh * zqsice)
-            )
-            denom = zcovptot * zdtgdp
-            denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), zepsilon)
-            denom = jnp.where(denom == 0.0, zepsilon, denom)
-            zpreclr = zqxfg[IS] * zcovpclr / denom
-            zbeta1 = (
-                jnp.sqrt(pap / paph_surf)
-                / e.rvrfactor
-                * zpreclr
-                / jnp.maximum(zcovpclr, ZEPSEC)
-            )
-            zbeta = RG * e.rpecons * jnp.maximum(zbeta1, 0.0) ** 0.5777
-            zdenom = 1.0 + zbeta * ptsphy * zcorqsice
-            zdpr = zcovpclr * zbeta * (zqsice - zqe) / zdenom * zdp * zrg_r
-            zdpevap = zdpr * zdtgdp
-            zevap = jnp.minimum(zdpevap, zqxfg[IS])
-            amt = madd(llo1, zevap)
-            solqa[IV][IS] = solqa[IV][IS] + amt
-            solqa[IS][IV] = solqa[IS][IV] - amt
-            zcovptot = jnp.where(
-                llo1,
-                jnp.maximum(
-                    e.rcovpmin,
-                    zcovptot
-                    - jnp.maximum(
-                        0.0,
-                        (zcovptot - za) * zevap / jnp.where(llo1, zqxfg[IS], 1.0),
-                    ),
-                ),
-                zcovptot,
-            )
-            zqxfg[IS] = zqxfg[IS] - amt
-        else:
-            raise NotImplementedError("IEVAPSNOW=2 not wired")
-
-        # 4.6 evaporate small precipitation amounts (ref: 2426-2435)
-        for m in (IR, IS):
-            small = zqxfg[m] < e.rlmin
-            solqa[IV][m] = solqa[IV][m] + madd(small, zqxfg[m])
-            solqa[m][IV] = solqa[m][IV] - madd(small, zqxfg[m])
-
-        # ==============================================================
-        # 5.1 cloud-fraction solver (ref: 2446-2455)
-        # ==============================================================
-        zanew = jnp.minimum((za + solac) / (1.0 + solab), 1.0)
-        zanew = jnp.where(zanew < e.ramin, 0.0, zanew)
-        zda = zanew - x["zaorig"]
-        zanewm1_new = zanew
-
-        # ==============================================================
-        # 5.2.1 conservation scaling of explicit sinks (ref: 2467-2580)
-        # ==============================================================
-        # stack to (m, n, ncol) for the order-dependent rescale
-        solqa_t = jnp.stack(
-            [jnp.stack([solqa[m][n] for n in range(NCLV)]) for m in range(NCLV)]
-        )
-        zsinksum = [
-            _chain([-solqa[m][n] for n in range(NCLV)]) for m in range(NCLV)
-        ]
-        zmax = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
-        zratio = jnp.stack(
-            [zmax[m] / jnp.maximum(zsinksum[m], zmax[m]) for m in range(NCLV)]
-        )
-        # run-out order: 5-step masked argmin (first minimum wins, as the
-        # Fortran ascending strict-< scan does; ref: 2502-2527)
-        avail = jnp.ones((NCLV, ncol), bool)
-        orders = []
-        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-        for _ in range(NCLV):
-            masked = jnp.where(avail, zratio, big)
-            idx = jnp.argmin(masked, axis=0)
-            orders.append(idx)
-            avail = avail & (jnp.arange(NCLV)[:, None] != idx[None, :])
-        # orderwise rescale (ref: 2533-2580); diagonal elements scale twice
-        # when negative, exactly as the sequential row-then-column update does
-        species_iota = jnp.arange(NCLV)[:, None]
-        zqx_stack = jnp.stack(zqx)
-        for step_i in range(NCLV):
-            r = orders[step_i]
-            onehot = (species_iota == r[None, :]).astype(dtype)  # (m, ncol)
-            row = jnp.einsum("mnc,mc->nc", solqa_t, onehot)       # solqa[r, :]
-            neg = row < 0.0
-            sink = _chain([-row[n] for n in range(NCLV)])
-            zmm = jnp.maximum(
-                jnp.einsum("mc,mc->c", zqx_stack, onehot), ZEPSEC
-            )
-            ratio = zmm / jnp.maximum(sink, zmm)
-            new_row = jnp.where(neg, row * ratio[None, :], row)
-            solqa_t = jnp.where(onehot[:, None, :] > 0, new_row[None, :, :], solqa_t)
-            col = jnp.einsum("mnc,nc->mc", solqa_t, onehot)       # solqa[:, r]
-            new_col = jnp.where(neg, col * ratio[None, :], col)
-            solqa_t = jnp.where(onehot[None, :, :] > 0, new_col[:, None, :], solqa_t)
-        solqa = [[solqa_t[m, n] for n in range(NCLV)] for m in range(NCLV)]
-
-        # ==============================================================
-        # 5.2.2 implicit 5x5 solve (LHS build + non-pivoting LU,
-        #       ref: 2589-2668) — fully unrolled over species
-        # ==============================================================
-        one = jnp.ones((ncol,), dtype)
-        qlhs = [[None] * NCLV for _ in range(NCLV)]
-        for mcol in range(NCLV):
-            for nrow in range(NCLV):
-                if nrow == mcol:
-                    diag = one + zfallsink[mcol]
-                    for o in range(NCLV):
-                        diag = diag + solqb[o][nrow]
-                    qlhs[nrow][mcol] = diag
-                else:
-                    qlhs[nrow][mcol] = -solqb[nrow][mcol]
-        zqxn = [
-            zqx[m] + _chain([solqa[m][n] for n in range(NCLV)])
-            for m in range(NCLV)
-        ]
-        # non-pivoting recursive factorization (ref: 2640-2650)
-        for jn in range(NCLV - 1):
-            for jm in range(jn + 1, NCLV):
-                qlhs[jm][jn] = qlhs[jm][jn] / qlhs[jn][jn]
-                for ik in range(jn + 1, NCLV):
-                    qlhs[jm][ik] = qlhs[jm][ik] - qlhs[jm][jn] * qlhs[jn][ik]
-        # backsubstitution (ref: 2654-2668)
-        for jn in range(1, NCLV):
-            for jm in range(jn):
-                zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
-        zqxn[NCLV - 1] = zqxn[NCLV - 1] / qlhs[NCLV - 1][NCLV - 1]
-        for jn in range(NCLV - 2, -1, -1):
-            for jm in range(jn + 1, NCLV):
-                zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
-            zqxn[jn] = zqxn[jn] / qlhs[jn][jn]
-
-        # clip small/negative values to vapour (ref: 2673-2680)
-        for n in (IL, II, IR, IS):
-            neg = zqxn[n] < ZEPSEC
-            zqxn[IV] = zqxn[IV] + madd(neg, zqxn[n])
-            zqxn[n] = jnp.where(neg, 0.0, zqxn[n])
-
-        zqxnm1_new = jnp.stack(zqxn)
-
-        # ==============================================================
-        # 5.3 precipitation flux to the next level (ref: 2698-2712)
-        # ==============================================================
-        pfplsx_next = jnp.stack(
-            [zfallsink[m] * zqxn[m] * zrdtgdp for m in range(NCLV)]
-        )
-        zqpre2 = pfplsx_next[IS] + pfplsx_next[IR]
-        zcovptot = jnp.where(zqpre2 < ZEPSEC, 0.0, zcovptot)
-
-        # ==============================================================
-        # 6. tendencies (ref: 2722-2773)
-        # ==============================================================
-        tend_t = x["tend_t_pre"]
-        for m in (IL, II, IR, IS):
-            zfluxq = (
-                zpsupsatsrce[m]
-                + zconvsrce[m]
-                + zfallsrce[m]
-                - (zfallsink[m] + zconvsink[m]) * zqxn[m]
-            )
-            lat = RALVDCP if IPHASE[m] == 1 else RALSDCP
-            tend_t = tend_t + lat * (zqxn[m] - zqx[m] - zfluxq) * zqtmst
-        tend_q = x["tend_q_pre"] + (zqxn[IV] - zqx[IV]) * zqtmst
-        tend_a = zda * zqtmst
-
-        new_carry = dict(
-            zanewm1=zanewm1_new,
-            zqxnm1=zqxnm1_new,
-            pfplsx=pfplsx_next,
-            zcovptot=zcovptot,
-            zcovpmax=zcovpmax,
-            zcldtopdist=zcldtopdist,
-            llrainliq=llrainliq,
-            prainfrac=prainfrac,
-        )
-        ys = dict(
-            zqxn=zqxnm1_new,
-            pfplsx_next=pfplsx_next,
-            plude=plude_out,
-            pcovptot=zcovptot,
-            tend_t=tend_t,
-            tend_q=tend_q,
-            tend_a=tend_a,
-        )
+        new_carry, ys = scheme.level_step(make_x(k), carry, c)
+        ys = dict(ys)
+        ys["zqxn"] = jnp.stack(ys["zqxn"])
+        ys["pfplsx_next"] = jnp.stack(ys["pfplsx_next"])
         return new_carry, ys
 
     carry_end, ys = jax.lax.scan(step, carry0, xs)
@@ -1020,8 +219,8 @@ def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
     zqxn2d = [zeros2.at[sl].set(ys["zqxn"][:, m]) for m in range(NCLV)]
     plude = fields["plude"].at[sl].set(ys["plude"])
     pcovptot = zeros2.at[sl].set(ys["pcovptot"])
-    tend_t = tend_t.at[sl].set(ys["tend_t"])
-    tend_q = tend_q.at[sl].set(ys["tend_q"])
+    tend_t = tend_t_full.at[sl].set(ys["tend_t"])
+    tend_q = tend_q_full.at[sl].set(ys["tend_q"])
     tend_a = zeros2.at[sl].set(ys["tend_a"])
     tend_cld = jnp.zeros((NCLV, nlev, ncol), dtype)
     for m in (IL, II, IR, IS):
@@ -1041,7 +240,7 @@ def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
     pfplsl = zpfplsx[:, IR] + zpfplsx[:, IL]
     pfplsn = zpfplsx[:, IS] + zpfplsx[:, II]
 
-    zgdph_r = -zrg_r * (paph[1:] - paph[:-1]) * zqtmst  # (nlev, ncol)
+    zgdph_r = -c.zrg_r * (paph[1:] - paph[:-1]) * zqtmst  # (nlev, ncol)
     pvfl, pvfi = fields["pvfl"], fields["pvfi"]
     liq_inc = (
         zqxn2d[IL] - zqx0[IL] + pvfl * ptsphy - zfoealfa * plude
@@ -1054,8 +253,8 @@ def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
 
     def half_cumsum(inc):
         """PF(jk+1) = sum_{j<=jk} inc(j); PF(0)=0 (ref: 2798-2857)."""
-        c = jnp.cumsum(inc, axis=0)
-        return jnp.concatenate([jnp.zeros((1, ncol), dtype), c], axis=0)
+        cum = jnp.cumsum(inc, axis=0)
+        return jnp.concatenate([jnp.zeros((1, ncol), dtype), cum], axis=0)
 
     pfsqlf = half_cumsum(liq_inc)
     pfsqif = half_cumsum(ice_inc)
@@ -1078,8 +277,8 @@ def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
         [jnp.zeros((1, ncol), dtype), pfcqnng[:-1] + zlneg[IS] * zgdph_r], axis=0
     )
 
-    pfhpsl = -RLVTT * pfplsl
-    pfhpsn = -RLSTT * pfplsn
+    pfhpsl = -c.RLVTT * pfplsl
+    pfhpsn = -c.RLSTT * pfplsn
 
     return CloudscOutputs(
         plude=plude,
