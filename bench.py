@@ -5,6 +5,13 @@ standard dwarf benchmark size 160K columns x 137 levels. vs_baseline compares
 against the strongest single-chip reference number: dwarf-cloudsc-gpu-scc-hoist
 at ~340 GF/s on one A100 (ref: README.md:283-292), i.e. 340e9 / 124823.29
 flops-per-column = 2.724e6 columns/s (flop model ref: timer_mod.F90:26-27).
+
+Methodology: the tunneled single-chip TPU platform has a ~30 ms fixed
+per-dispatch overhead, so ITERS iterations are chained inside ONE jitted
+fori_loop (each iteration data-depends on the previous output so XLA cannot
+elide any) and the dispatch floor — measured with a trivial jitted op — is
+subtracted once. This mirrors the reference's isolated-kernel timing (GPU
+variants report kernel-only vs loop+transfer, ref: README.md:311-318).
 """
 
 import json
@@ -15,6 +22,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_COLS_PER_S = 340.0e9 / 124823.29  # A100 scc-hoist, ~2.724e6 col/s
+
+
+def _sync(x):
+    """Barrier via a tiny on-device slice fetch (full-array fetches would ride
+    the tunnel at ~90 MB per sync and dominate the measurement)."""
+    import numpy as np
+    return np.asarray(x[(0,) * (x.ndim - 1)][:1])
+
+
+def _dispatch_floor(x) -> float:
+    """Fixed per-dispatch cost of this platform (tunnel RTT + runtime)."""
+    import jax
+
+    fn = jax.jit(lambda a: a * 2.0)
+    _sync(fn(x))
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _sync(fn(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> int:
@@ -32,34 +60,51 @@ def main() -> int:
 
     from cloudsc_tpu.data import load_input
     from cloudsc_tpu.params import Params
-    from cloudsc_tpu.runtime.driver import CloudscDriver, sync
+    from cloudsc_tpu.runtime.driver import CloudscDriver
 
     ngptot = int(os.environ.get("CLOUDSC_BENCH_NGPTOT", 163840 if on_tpu else 8192))
     iters = int(os.environ.get("CLOUDSC_BENCH_ITERS", 10 if on_tpu else 2))
     input_path = os.environ.get("CLOUDSC_INPUT", "/root/reference/data")
+    backend = os.environ.get("CLOUDSC_BENCH_BACKEND", "auto")
 
     inp = load_input(input_path, ngptot=ngptot)
     params = Params.from_input(inp)
-    driver = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32, nproma=128)
+    driver = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32, nproma=128,
+                           backend=backend)
+    call = driver._fn
 
-    fields, ncol = driver.prepare(inp)
+    fields, _ = driver.prepare(inp)
     fields = jax.device_put(fields)
     jax.block_until_ready(fields)
-    out = sync(driver._fn(fields))  # compile + warmup
 
+    def body(_, fs):
+        out = call(fs)
+        fs = dict(fs)
+        # zero-scaled data dependency: keeps every iteration live, value-exact
+        fs["pt"] = fs["pt"] + 0.0 * out.tendency_loc_t
+        return fs
+
+    chained = jax.jit(
+        lambda fs: jax.lax.fori_loop(0, iters, body, fs)["pt"]
+    )
+    _sync(chained(fields))  # compile + warmup
+
+    floor = _dispatch_floor(fields["pt"])
     best = float("inf")
-    for _ in range(iters):
+    for _ in range(5):
         t0 = time.perf_counter()
-        out = sync(driver._fn(fields))
+        _sync(chained(fields))
         best = min(best, time.perf_counter() - t0)
 
-    cols_per_s = ngptot / best
+    per_iter = max(best - floor, 1e-9) / iters
+    cols_per_s = ngptot / per_iter
     print(
         json.dumps(
             {
-                "metric": "columns/s per chip (160K cols x 137 lev, fp32)"
+                "metric": f"columns/s per chip (160K cols x 137 lev, fp32, "
+                          f"{driver.backend} backend)"
                 if on_tpu
-                else "columns/s per chip (CPU fallback)",
+                else f"columns/s per chip (CPU fallback, {driver.backend})",
                 "value": round(cols_per_s, 1),
                 "unit": "columns/s",
                 "vs_baseline": round(cols_per_s / BASELINE_COLS_PER_S, 4),

@@ -39,7 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", action="store_true",
                    help="shard columns over all visible devices")
     p.add_argument("--iterations", type=int, default=1)
-    p.add_argument("--kernel", choices=("scan", "pallas"), default="scan")
+    p.add_argument("--kernel", choices=("auto", "scan", "pallas"),
+                   default="auto",
+                   help="compute engine: fused Pallas TPU kernel or XLA scan "
+                        "(auto = pallas on TPU fp32, scan otherwise)")
     return p
 
 
@@ -75,8 +78,10 @@ def main(argv=None) -> int:
     inp = load_input(input_path, ngptot=args.ngptot)
     params = Params.from_input(inp)
 
+    backend = {"scan": "xla", "pallas": "pallas", "auto": "auto"}[args.kernel]
     driver = CloudscDriver(
-        params, inp.ptsphy, dtype=dtype, nproma=args.nproma, use_mesh=args.mesh
+        params, inp.ptsphy, dtype=dtype, nproma=args.nproma,
+        use_mesh=args.mesh, backend=backend,
     )
     ngpblks = -(-args.ngptot // args.nproma)
     ndev = driver.mesh.devices.size if driver.mesh is not None else 1

@@ -626,7 +626,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     latch = rain_p & (ztp1 <= RTT) & (x["ztp1_prev"] > RTT)
     zqpretot_f = jnp.maximum(zqx[IS] + zqx[IR], ZEPSEC)
     prainfrac = jnp.where(latch, zqx[IR] / zqpretot_f, carry["prainfrac"])
-    llrainliq = jnp.where(latch, prainfrac > 0.8, carry["llrainliq"])
+    # pure logical form (a bool-valued select does not lower on Mosaic)
+    llrainliq = (latch & (prainfrac > 0.8)) | (~latch & carry["llrainliq"])
     frz_cold = rain_p & (ztp1 < RTT)
     lam_den = jnp.where(rain_p, zrho * zqx[IR], 1.0)
     zlambda = (e.rcl_fac1 / lam_den) ** e.rcl_fac2

@@ -53,18 +53,26 @@ def shard_fields(fields: dict, mesh: Mesh) -> dict:
     return out
 
 
-def sharded_cloudsc(params, ptsphy: float, mesh: Mesh):
+def sharded_cloudsc(params, ptsphy: float, mesh: Mesh, backend: str = "xla",
+                    **kw):
     """Jitted CLOUDSC whose inputs/outputs are column-sharded over the mesh.
 
     There is deliberately no shard_map here: the scheme has no cross-column
     dependency, so plain jit + sharding annotations compiles to fully
     partitioned SPMD code with zero collectives (matching the reference, whose
-    compute path has no MPI calls either).
+    compute path has no MPI calls either). backend="pallas" runs the fused TPU
+    kernel per shard instead of the XLA scan.
     """
     from ..physics import cloudsc
 
+    if backend == "pallas":
+        from ..kernels import cloudsc_pallas
+        compute = lambda f: cloudsc_pallas(f, params, ptsphy, **kw)
+    else:
+        compute = lambda f: cloudsc(f, params, ptsphy)
+
     def fn(fields):
-        out = cloudsc(fields, params, ptsphy)
+        out = compute(fields)
         specs = jax.tree.map(lambda x: _field_spec(x.ndim), out)
         return jax.lax.with_sharding_constraint(
             out, jax.tree.map(lambda s: NamedSharding(mesh, s), specs)

@@ -36,7 +36,8 @@ def sync(out):
 
 class CloudscDriver:
     def __init__(self, params, ptsphy: float, dtype=None, nproma: int = 128,
-                 mesh=None, use_mesh: bool = False):
+                 mesh=None, use_mesh: bool = False, backend: str = "auto",
+                 sublanes: int = 32):
         import jax.numpy as jnp
 
         self.params = params
@@ -44,10 +45,39 @@ class CloudscDriver:
         self.dtype = dtype or jnp.float32
         self.nproma = max(int(nproma), 1)
         self.mesh = mesh if mesh is not None else (column_mesh() if use_mesh else None)
+        self.backend = self._resolve_backend(backend)
+        if self.backend == "pallas" and self.dtype == jnp.float64:
+            raise ValueError(
+                "the Pallas TPU kernel is fp32-only (TPUs have no native "
+                "fp64); use --precision fp32 or the scan backend "
+                "(the reference's SINGLE/double build split, "
+                "ref: parkind1.F90:40-44)"
+            )
+        kw = dict(sublanes=sublanes) if self.backend == "pallas" else {}
         if self.mesh is not None:
-            self._fn = sharded_cloudsc(params, ptsphy, self.mesh)
+            self._fn = sharded_cloudsc(params, ptsphy, self.mesh,
+                                       backend=self.backend, **kw)
+        elif self.backend == "pallas":
+            from ..kernels import cloudsc_pallas
+            self._fn = jax.jit(
+                lambda f: cloudsc_pallas(f, params, ptsphy, sublanes=sublanes)
+            )
         else:
             self._fn = jax.jit(lambda f: cloudsc(f, params, ptsphy))
+
+    def _resolve_backend(self, backend: str) -> str:
+        """'auto' picks the fused Pallas kernel on TPU (fp32, default scheme
+        config) and the XLA scan elsewhere — the analogue of the reference
+        selecting its gpu-scc-k-caching vs fortran driver per platform."""
+        if backend != "auto":
+            return backend
+        from ..kernels import pallas_supported
+
+        import jax.numpy as jnp
+        on_tpu = jax.default_backend() not in ("cpu", "METAL")
+        if on_tpu and self.dtype == jnp.float32 and pallas_supported(self.params):
+            return "pallas"
+        return "xla"
 
     # -- helpers ---------------------------------------------------------------
 

@@ -1,0 +1,72 @@
+"""Fused Pallas kernel vs the XLA scan oracle (interpret mode on CPU).
+
+The kernel shares its physics body (scheme.level_init / level_step) with the
+scan path, so the fp64 golden tests already guard the numerics; these tests
+guard the kernel's *schedule* — carry handling across the sequential level
+grid, section-8 flux accumulation, NCLDTOP masking, and column padding.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cloudsc_tpu.data import load_input
+from cloudsc_tpu.params import Params
+from cloudsc_tpu.physics import cloudsc, make_inputs
+from cloudsc_tpu.kernels import cloudsc_pallas
+
+NGPTOT = 512  # one (4-sublane, 128-lane) grid row -> fast in interpret mode
+
+
+import os
+
+INPUT_PATH = os.environ.get("CLOUDSC_INPUT", "/root/reference/data")
+
+
+@pytest.fixture(scope="module")
+def oracle_pair():
+    inp = load_input(INPUT_PATH, ngptot=NGPTOT)
+    params = Params.from_input(inp)
+    fields = make_inputs(inp, dtype=jnp.float32)
+    ref = jax.jit(lambda f: cloudsc(f, params, inp.ptsphy))(fields)
+    return inp, params, fields, ref
+
+
+def _compare(ref, out, rtol):
+    for name in ref._fields:
+        a = np.asarray(getattr(ref, name), dtype=np.float64)
+        b = np.asarray(getattr(out, name), dtype=np.float64)
+        denom = max(np.abs(a).max(), 1e-30)
+        err = np.abs(a - b).max() / denom
+        assert err < rtol, f"{name}: maxrel={err:.3e}"
+
+
+def test_pallas_matches_oracle(oracle_pair):
+    inp, params, fields, ref = oracle_pair
+    out = cloudsc_pallas(fields, params, inp.ptsphy, sublanes=4, interpret=True)
+    _compare(ref, out, rtol=1e-5)
+
+
+def test_pallas_column_padding(oracle_pair):
+    """ncol not a multiple of the tile: pad columns must not leak."""
+    inp, params, fields, ref = oracle_pair
+    cut = NGPTOT - 96
+    fields_c = {k: v[..., :cut] for k, v in fields.items()}
+    ref_c = jax.tree.map(lambda a: a[..., :cut], ref)
+    out = cloudsc_pallas(fields_c, params, inp.ptsphy, sublanes=4,
+                         interpret=True)
+    _compare(ref_c, out, rtol=1e-5)
+
+
+def test_pallas_sublane_invariance(oracle_pair):
+    """Results are identical for different column tile sizes (the NPROMA
+    invariance property, ref: ctest sweeps over NPROMA)."""
+    inp, params, fields, _ = oracle_pair
+    a = cloudsc_pallas(fields, params, inp.ptsphy, sublanes=4, interpret=True)
+    b = cloudsc_pallas(fields, params, inp.ptsphy, sublanes=2, interpret=True)
+    for name in a._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name,
+        )
