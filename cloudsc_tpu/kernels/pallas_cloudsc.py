@@ -154,6 +154,8 @@ def _kernel(c, nlev, ktop, *refs):
             zfoeew=ini["zfoeew"], zfoeewmt=ini["zfoeewmt"],
             zfoeeliqt=ini["zfoeeliqt"], zfoealfa=ini["zfoealfa"],
             zli=ini["zli"], zliqfrac=ini["zliqfrac"], zicefrac=ini["zicefrac"],
+            zfoeeliq=ini["zfoeeliq"], zfoeeice=ini["zfoeeice"],
+            zfokoop=ini["zfokoop"],
             tend_t_pre=ini["tend_t_pre"], tend_q_pre=ini["tend_q_pre"],
             ztp1_prev=scr[_S_ZTP1_PREV], za_prev=scr[_S_ZA_PREV],
             pap=raw["pap"], pap_prev=scr[_S_PAP_PREV],

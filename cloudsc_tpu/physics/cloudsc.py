@@ -146,6 +146,8 @@ def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
         zfoeeliqt=ini["zfoeeliqt"],
         zfoealfa=zfoealfa, zli=ini["zli"],
         zliqfrac=ini["zliqfrac"], zicefrac=ini["zicefrac"],
+        zfoeeliq=ini["zfoeeliq"], zfoeeice=ini["zfoeeice"],
+        zfokoop=ini["zfokoop"],
         pap=pap, paph=paph,
         pmfu=fields["pmfu"], pmfd=fields["pmfd"],
         pvervel=fields["pvervel"], phrsw=fields["phrsw"],
@@ -176,6 +178,8 @@ def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
             "zfoeewmt": row("zfoeewmt"), "zfoeeliqt": row("zfoeeliqt"),
             "zfoealfa": row("zfoealfa"), "zli": row("zli"),
             "zliqfrac": row("zliqfrac"), "zicefrac": row("zicefrac"),
+            "zfoeeliq": row("zfoeeliq"), "zfoeeice": row("zfoeeice"),
+            "zfokoop": row("zfokoop"),
             "pap": row("pap"), "pap_prev": row("pap", -1),
             "paph": row("paph"), "paph_next": row("paph", 1),
             "pmfu": row("pmfu"), "pmfd": row("pmfd"),

@@ -14,6 +14,20 @@ the same code drives two execution engines:
 Floating-point op order follows the Fortran statement order so fp64 results
 match reference.h5 to ~1e-13 relative; fp32 uses the same code path (the
 reference's SINGLE build split, ref: parkind1.F90:40-44, is a dtype parameter).
+
+Vector-op-count engineering (the kernel is VPU-bound, not bandwidth-bound):
+
+  * structural sparsity — the 5x5 source (ZSOLQA) and implicit (ZSOLQB)
+    matrices have compile-time-known zero entries in the wired configuration;
+    they are tracked as Python ``None`` and every consumer (sink sums, the
+    conservation rescale, the LU solve) statically skips them. Adding or
+    eliminating an exact zero only ever flips the sign of a floating-point
+    zero, which no downstream consumer distinguishes, so results are unchanged.
+  * the run-out ordering (ref: 2502-2527) is computed as lexicographic ranks
+    from 20 pairwise comparisons instead of five sequential masked-argmin
+    rounds — identical selection including the first-minimum-wins tie rule.
+  * the exp-heavy saturation values (FOEELIQ/FOEEICE/FOEEWM/FOKOOP share two
+    exponentials) are evaluated once in level_init and reused by the step.
 """
 
 from __future__ import annotations
@@ -25,12 +39,9 @@ import jax.numpy as jnp
 from .thermo import (
     foealfa,
     foedelta,
-    foeeice,
-    foeeliq,
-    foeewm,
-    foedem,
-    foeldcpm,
-    fokoop,
+    foedem_a,
+    foeewm_a,
+    foeldcpm_a,
 )
 
 # 0-based species indices (ref: yoecldp.F90:86-91)
@@ -58,6 +69,28 @@ def chain(terms):
     acc = terms[0]
     for t in terms[1:]:
         acc = acc + t
+    return acc
+
+
+# -- structural-sparsity helpers: None == compile-time zero -------------------
+
+def sadd(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def sneg(a):
+    return None if a is None else -a
+
+
+def schain(terms):
+    """Left-to-right sum over non-None terms (None if all are None)."""
+    acc = None
+    for t in terms:
+        acc = sadd(acc, t)
     return acc
 
 
@@ -100,9 +133,9 @@ def level_init(raw: dict, c) -> dict:
     """Section 1 'initial values' (ref: 654-808), elementwise over any shape.
 
     `raw` holds same-shape arrays: pt, pq, pa, pap, tendency_tmp_{t,q,a},
-    pclv (list of NCLV... only the 4 condensates used), tendency_tmp_cld
-    (list of 4). Returns every derived per-level quantity the level step
-    consumes, plus the section-1 tendency/clipping bookkeeping (zlneg, zqx0).
+    pclv (list of the 4 condensates), tendency_tmp_cld (list of 4). Returns
+    every derived per-level quantity the level step consumes, plus the
+    section-1 tendency/clipping bookkeeping (zlneg, zqx0).
     """
     cst, thf, e = c.cst, c.thf, c.e
     zqtmst, RETV = c.zqtmst, c.RETV
@@ -144,21 +177,30 @@ def level_init(raw: dict, c) -> dict:
         zqx[IV] = zqx[IV] + jnp.where(c2, zqx[m], 0.0)
         zqx[m] = jnp.where(c2, 0.0, zqx[m])
 
-    # saturation curves (ref: 749-784)
+    # saturation curves (ref: 749-784). The two exponentials are evaluated
+    # once and reused across FOEEWM/FOEELIQ/FOEEICE/FOKOOP — bitwise-identical
+    # to calling each statement function separately (they share the exact
+    # subexpressions), but 8 fewer exp() per level on the hot path.
     pap = raw["pap"]
     zfoealfa = foealfa(ztp1, thf)
-    zfoeewmt = jnp.minimum(foeewm(ztp1, cst, thf) / pap, 0.5)
+    exp_liq = jnp.exp(thf.r3les * (ztp1 - cst.rtt) / (ztp1 - thf.r4les))
+    exp_ice = jnp.exp(thf.r3ies * (ztp1 - cst.rtt) / (ztp1 - thf.r4ies))
+    zfoeeliq = thf.r2es * exp_liq     # == foeeliq(ztp1)
+    zfoeeice = thf.r2es * exp_ice     # == foeeice(ztp1)
+    zfoeewmt = jnp.minimum(
+        thf.r2es * (zfoealfa * exp_liq + (1.0 - zfoealfa) * exp_ice) / pap, 0.5
+    )
     zqsmix = zfoeewmt / (1.0 - RETV * zfoeewmt)
     zdelta = foedelta(ztp1, cst)
     zfoeew = jnp.minimum(
-        (zdelta * foeeliq(ztp1, cst, thf) + (1.0 - zdelta) * foeeice(ztp1, cst, thf))
-        / pap,
-        0.5,
+        (zdelta * zfoeeliq + (1.0 - zdelta) * zfoeeice) / pap, 0.5
     )
     zfoeew = jnp.minimum(0.5, zfoeew)
     zqsice = zfoeew / (1.0 - RETV * zfoeew)
-    zfoeeliqt = jnp.minimum(foeeliq(ztp1, cst, thf) / pap, 0.5)
+    zfoeeliqt = jnp.minimum(zfoeeliq / pap, 0.5)
     zqsliq = zfoeeliqt / (1.0 - RETV * zfoeeliqt)
+    # Koop supersaturation limit (ref: fccld.func.h:27), reused in 3.1/3.7
+    zfokoop = jnp.minimum(thf.rkoop1 - thf.rkoop2 * ztp1, zfoeeliq / zfoeeice)
 
     # cloud fraction in [0,1]; liquid/ice split (ref: 786-808)
     za = jnp.maximum(0.0, jnp.minimum(1.0, za))
@@ -172,6 +214,7 @@ def level_init(raw: dict, c) -> dict:
         zqsmix=zqsmix, zqsliq=zqsliq, zqsice=zqsice,
         zfoeew=zfoeew, zfoeewmt=zfoeewmt, zfoeeliqt=zfoeeliqt,
         zfoealfa=zfoealfa, zli=zli, zliqfrac=zliqfrac, zicefrac=zicefrac,
+        zfoeeliq=zfoeeliq, zfoeeice=zfoeeice, zfokoop=zfokoop,
         tend_t_pre=tend_t, tend_q_pre=tend_q, zlneg=zlneg,
     )
 
@@ -226,14 +269,16 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         return jnp.where(mask, v, 0.0)
 
     # ---- 3.0 per-level init (ref: 854-983) --------------------------
+    # ZSOLQA/ZSOLQB start as structural zeros (None); only entries the wired
+    # configuration can touch ever become arrays.
     zqxfg = list(zqx)
-    solqa = [[zero for _ in range(NCLV)] for _ in range(NCLV)]
-    solqb = [[zero for _ in range(NCLV)] for _ in range(NCLV)]
-    zfallsrce = [zero] * NCLV
-    zfallsink = [zero] * NCLV
-    zconvsrce = [zero] * NCLV
-    zconvsink = [zero] * NCLV
-    zpsupsatsrce = [zero] * NCLV
+    solqa = [[None for _ in range(NCLV)] for _ in range(NCLV)]
+    solqb = [[None for _ in range(NCLV)] for _ in range(NCLV)]
+    zfallsrce = [None] * NCLV
+    zfallsink = [None] * NCLV
+    zconvsrce = [None] * NCLV
+    zconvsink = [None] * NCLV
+    zpsupsatsrce = [None] * NCLV
     solab = zero
     solac = zero
 
@@ -257,11 +302,9 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zfac = zalfaw * zfacw + (1.0 - zalfaw) * zfaci
     zcor = 1.0 / (1.0 - RETV * x["zfoeewmt"])
     zdqsmixdt = zfac * zcor * zqsmix
-    zcorqsmix = 1.0 + foeldcpm(ztp1, thf) * zdqsmixdt
+    zcorqsmix = 1.0 + foeldcpm_a(zfoealfa_k, thf) * zdqsmixdt
 
     zevaplimmix = jnp.maximum((zqsmix - zqx[IV]) / zcorqsmix, 0.0)
-    zevaplimice = jnp.maximum((zqsice - zqx[IV]) / zcorqsice, 0.0)
-    del zevaplimice  # computed for parity; unused in this configuration
 
     ztmpa = 1.0 / jnp.maximum(za, ZEPSEC)
     zliqcld = zqx[IL] * ztmpa
@@ -271,11 +314,11 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     # evaporate very small liquid/ice (ref: 971-983)
     for m in (IL, II):
         tiny = zqx[m] < e.rlmin
-        solqa[IV][m] = madd(tiny, zqx[m])
-        solqa[m][IV] = -madd(tiny, zqx[m])
+        solqa[IV][m] = sadd(solqa[IV][m], madd(tiny, zqx[m]))
+        solqa[m][IV] = sadd(solqa[m][IV], -madd(tiny, zqx[m]))
 
     # ---- 3.1 ice supersaturation adjustment (ref: 985-1088) ---------
-    zfokoop = fokoop(ztp1, cst, thf)
+    zfokoop = x["zfokoop"]
     warm_or_off = (ztp1 >= RTT) | (NSSOPT == 0)
     zfac = jnp.where(warm_or_off, 1.0, za + zfokoop * (1.0 - za))
     zfaci = jnp.where(warm_or_off, 1.0, ptsphy / e.rkooptau)
@@ -292,8 +335,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     warm = ztp1 > e.rthomo
     for m, w in ((IL, warm), (II, ~warm)):
         amt = madd(has_sup & w, zsupsat)
-        solqa[m][IV] = solqa[m][IV] + amt
-        solqa[IV][m] = solqa[IV][m] - amt
+        solqa[m][IV] = sadd(solqa[m][IV], amt)
+        solqa[IV][m] = sadd(solqa[IV][m], -amt)
         zqxfg[m] = zqxfg[m] + amt
     solac = jnp.where(has_sup, (1.0 - za) * zfaci, solac)
 
@@ -301,14 +344,13 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     has_ps = psupsat > ZEPSEC
     for m, w in ((IL, warm), (II, ~warm)):
         amt = madd(has_ps & w, psupsat)
-        solqa[m][m] = solqa[m][m] + amt
+        solqa[m][m] = sadd(solqa[m][m], amt)
         zpsupsatsrce[m] = amt
         zqxfg[m] = zqxfg[m] + amt
     solac = jnp.where(has_ps, (1.0 - za) * zfaci, solac)
 
     # ---- 3.2 detrainment from convection (ref: 1100-1127) -----------
-    zdtgdp_ = zdtgdp
-    plude_scaled = x["plude_in"] * zdtgdp_
+    plude_scaled = x["plude_in"] * zdtgdp
     plu_next = x["plu_next"]
     lcond = (
         not_last & ldcum & (plude_scaled > e.rlmin) & (plu_next > ZEPSEC)
@@ -316,22 +358,22 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     solac = solac + madd(lcond, plude_scaled / jnp.where(lcond, plu_next, 1.0))
     zconvsrce[IL] = madd(lcond, zalfaw * plude_scaled)
     zconvsrce[II] = madd(lcond, (1.0 - zalfaw) * plude_scaled)
-    solqa[IL][IL] = solqa[IL][IL] + zconvsrce[IL]
-    solqa[II][II] = solqa[II][II] + zconvsrce[II]
+    solqa[IL][IL] = sadd(solqa[IL][IL], zconvsrce[IL])
+    solqa[II][II] = sadd(solqa[II][II], zconvsrce[II])
     plude_out = jnp.where(
         not_last, jnp.where(lcond, plude_scaled, 0.0), x["plude_in"]
     )
-    solqa[IS][IS] = solqa[IS][IS] + madd(
-        not_last & ldcum, x["psnde"] * zdtgdp
+    solqa[IS][IS] = sadd(
+        solqa[IS][IS], madd(not_last & ldcum, x["psnde"] * zdtgdp)
     )
 
     # ---- 3.3 subsidence source + in-layer evaporation (ref: 1143-1194)
     zmf = jnp.maximum(0.0, (x["pmfu"] + x["pmfd"]) * zdtgdp)
     zacust = zmf * carry["zanewm1"]
-    zlcust = [zero] * NCLV
+    zlcust = [None] * NCLV
     for m in (IL, II):
         zlcust[m] = madd(not_first, zmf * carry["zqxnm1"][m])
-        zconvsrce[m] = zconvsrce[m] + zlcust[m]
+        zconvsrce[m] = sadd(zconvsrce[m], zlcust[m])
     zdtdp = zrdcp * 0.5 * (x["ztp1_prev"] + ztp1) / paph
     zdtforc = zdtdp * (pap - x["pap_prev"])
     zdqs_sub = carry["zanewm1"] * zdtforc * zdqsmixdt
@@ -341,9 +383,9 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         zevap = jnp.minimum(zlcust[m] - zlfinal, zevaplimmix)
         zlfinal = zlcust[m] - zevap
         zlfinalsum = zlfinalsum + madd(not_first, zlfinal)
-        solqa[m][m] = solqa[m][m] + madd(not_first, zlcust[m])
-        solqa[IV][m] = solqa[IV][m] + madd(not_first, zevap)
-        solqa[m][IV] = solqa[m][IV] - madd(not_first, zevap)
+        solqa[m][m] = sadd(solqa[m][m], madd(not_first, zlcust[m]))
+        solqa[IV][m] = sadd(solqa[IV][m], madd(not_first, zevap))
+        solqa[m][IV] = sadd(solqa[m][IV], -madd(not_first, zevap))
     zacust = jnp.where(zlfinalsum < ZEPSEC, 0.0, zacust)
     solac = solac + madd(not_first, zacust)
 
@@ -353,8 +395,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         jnp.maximum(0.0, (x["pmfu_next"] + x["pmfd_next"]) * zdtgdp),
     )
     solab = solab + zmfdn
-    solqb[IL][IL] = solqb[IL][IL] + zmfdn
-    solqb[II][II] = solqb[II][II] + zmfdn
+    solqb[IL][IL] = sadd(solqb[IL][IL], zmfdn)
+    solqb[II][II] = sadd(solqb[II][II], zmfdn)
     zconvsink[IL] = zmfdn
     zconvsink[II] = zmfdn
 
@@ -373,8 +415,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     solac = solac - madd(has_cld, zaeros)
     for m, frac in ((IL, x["zliqfrac"]), (II, x["zicefrac"])):
         amt = madd(has_cld, frac * zleros)
-        solqa[IV][m] = solqa[IV][m] + amt
-        solqa[m][IV] = solqa[m][IV] - amt
+        solqa[IV][m] = sadd(solqa[IV][m], amt)
+        solqa[m][IV] = sadd(solqa[m][IV], -amt)
 
     # ---- 3.4b condensation/evaporation from dqsat/dt (ref: 1281-1325)
     zdtdp = zrdcp * ztp1 / pap
@@ -392,11 +434,14 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     qloc = zqsmix
     zqp = 1.0 / pap
     for _ in range(2):  # inlined CUADJTQ, 2 Newton iterations (ref: 1303-1319)
-        zqsat = jnp.minimum(foeewm(tloc, cst, thf) * zqp, 0.5)
+        alfa_n = foealfa(tloc, thf)
+        zqsat = jnp.minimum(foeewm_a(tloc, alfa_n, cst, thf) * zqp, 0.5)
         zcor_n = 1.0 / (1.0 - RETV * zqsat)
         zqsat = zqsat * zcor_n
-        zcond = (qloc - zqsat) / (1.0 + zqsat * zcor_n * foedem(tloc, thf))
-        tloc = tloc + foeldcpm(tloc, thf) * zcond
+        zcond = (qloc - zqsat) / (
+            1.0 + zqsat * zcor_n * foedem_a(tloc, alfa_n, thf)
+        )
+        tloc = tloc + foeldcpm_a(alfa_n, thf) * zcond
         qloc = qloc - zcond
     zdqs = qloc - zqsmix
 
@@ -407,8 +452,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zlevap = jnp.minimum(zlevap, jnp.maximum(zqsmix - zqx[IV], 0.0))
     for m, frac in ((IL, x["zliqfrac"]), (II, x["zicefrac"])):
         amt = madd(evap_m, frac * zlevap)
-        solqa[IV][m] = solqa[IV][m] + amt
-        solqa[m][IV] = solqa[m][IV] - amt
+        solqa[IV][m] = sadd(solqa[IV][m], amt)
+        solqa[m][IV] = sadd(solqa[m][IV], -amt)
 
     # 3.4b(1) increase of cloud water in existing clouds (ref: 1362-1396)
     c1m = (za > ZEPSEC) & (zdqs <= -e.rlmin)
@@ -416,7 +461,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zcorq = 1.0 / (1.0 - RETV * zqsmix)
     zcdmax = jnp.where(
         za > 0.99,
-        (zqx[IV] - zqsmix) / (1.0 + zcorq * zqsmix * foedem(ztp1, thf)),
+        (zqx[IV] - zqsmix)
+        / (1.0 + zcorq * zqsmix * foedem_a(ztp1, zfoealfa_k, thf)),
         (zqx[IV] - za * zqsmix) / jnp.where(c1m, za, 1.0),
     )
     zlcond1 = jnp.maximum(jnp.minimum(zlcond1, zcdmax), 0.0)
@@ -424,8 +470,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zlcond1 = jnp.where(zlcond1 < e.rlmin, 0.0, zlcond1)
     for m, w in ((IL, warm), (II, ~warm)):
         amt = madd(c1m & w, zlcond1)
-        solqa[m][IV] = solqa[m][IV] + amt
-        solqa[IV][m] = solqa[IV][m] - amt
+        solqa[m][IV] = sadd(solqa[m][IV], amt)
+        solqa[IV][m] = sadd(solqa[IV][m], -amt)
         zqxfg[m] = zqxfg[m] + amt
 
     # 3.4b(2) generation of new clouds (ref: 1400-1499)
@@ -464,8 +510,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     solac = solac + madd(c2m, zacond)
     for m, w in ((IL, warm), (II, ~warm)):
         amt = madd(c2m & w, zlcond2)
-        solqa[m][IV] = solqa[m][IV] + amt
-        solqa[IV][m] = solqa[IV][m] - amt
+        solqa[m][IV] = sadd(solqa[m][IV], amt)
+        solqa[IV][m] = sadd(solqa[IV][m], -amt)
         zqxfg[m] = zqxfg[m] + amt
 
     # ---- 3.7 ice deposition, Rotstayn 2001 (ref: 1519-1601) ----------
@@ -474,7 +520,7 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         reset_top, 0.0, carry["zcldtopdist"] + zdp / (zrho * RG)
     )
     dep_m = (ztp1 < RTT) & (zqxfg[IL] > e.rlmin)
-    zvpice = foeeice(ztp1, cst, thf) * RV / RD
+    zvpice = x["zfoeeice"] * RV / RD
     zvpliq = zvpice * zfokoop
     zicenuclei = 1000.0 * jnp.exp(
         12.96 * (zvpliq - zvpice) / zvpliq - 0.639
@@ -488,7 +534,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         / (8.87 * (zadd + zbdd) * zvpice)
     )
     zice0 = jnp.maximum(zicecld, zicenuclei * e.riceinit / zrho)
-    zinew = (0.666 * zcvds * ptsphy + zice0**0.666) ** 1.5
+    zinew_b = 0.666 * zcvds * ptsphy + zice0**0.666
+    zinew = zinew_b * jnp.sqrt(zinew_b)          # == zinew_b**1.5
     zdepos = jnp.maximum(za * (zinew - zice0), 0.0)
     zdepos = jnp.minimum(zdepos, zqxfg[IL])
     zinfactor = jnp.minimum(zicenuclei / 15000.0, 1.0)
@@ -499,8 +546,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         1.0,
     )
     amt = madd(dep_m, zdepos)
-    solqa[II][IL] = solqa[II][IL] + amt
-    solqa[IL][II] = solqa[IL][II] - amt
+    solqa[II][IL] = sadd(solqa[II][IL], amt)
+    solqa[IL][II] = sadd(solqa[IL][II], -amt)
     zqxfg[II] = zqxfg[II] + amt
     zqxfg[IL] = zqxfg[IL] - amt
 
@@ -517,7 +564,7 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zqpretot = zero
     for m in (II, IR, IS):
         zfallsrce[m] = madd(not_first, pfplsx_row[m] * zdtgdp)
-        solqa[m][m] = solqa[m][m] + zfallsrce[m]
+        solqa[m][m] = sadd(solqa[m][m], zfallsrce[m])
         zqxfg[m] = zqxfg[m] + zfallsrce[m]
         zqpretot = zqpretot + madd(not_first, zqxfg[m])
         if m == II and c.LAERICESED:
@@ -552,13 +599,17 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     else:
         zlcrit = e.rlcritsnow
     zsnowaut = zzco * (1.0 - jnp.exp(-((zicecld / zlcrit) ** 2)))
-    solqb[IS][II] = solqb[IS][II] + madd(snow_m, zsnowaut)
+    solqb[IS][II] = sadd(solqb[IS][II], madd(snow_m, zsnowaut))
 
     # 4.3b warm-rain autoconversion/accretion (ref: 1819-1927)
     liq_m = zliqcld > ZEPSEC
     if c.IWARMRAIN == 2:  # Khairoutdinov and Kogan (2000)
-        zconst = jnp.where(
-            land, e.rcl_kk_cloud_num_land, e.rcl_kk_cloud_num_sea
+        # the CCN-number power has a compile-time base on land and sea:
+        # fold zconst**RCL_KKBauN into the land/sea select
+        zconst_pow = jnp.where(
+            land,
+            e.rcl_kk_cloud_num_land ** e.rcl_kkbaun,
+            e.rcl_kk_cloud_num_sea ** e.rcl_kkbaun,
         )
         zlcrit = jnp.where(land, e.rclcrit_land, e.rclcrit_sea)
         above = zliqcld > zlcrit
@@ -566,7 +617,7 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             1.5 * za * ptsphy
             * e.rcl_kkaau
             * jnp.maximum(zliqcld, 0.0) ** e.rcl_kkbauq
-            * zconst ** e.rcl_kkbaun
+            * zconst_pow
         )
         zrainaut = jnp.minimum(zrainaut, zqxfg[IL])
         zrainaut = jnp.where(zrainaut < ZEPSEC, 0.0, zrainaut)
@@ -580,12 +631,12 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         zrainaut = jnp.where(above, zrainaut, 0.0)
         zrainacc = jnp.where(above, zrainacc, 0.0)
         cold = ztp1 <= RTT
-        for dst, sel in ((IS, cold), (IR, ~cold)):
-            mm = liq_m & sel
-            solqa[dst][IL] = solqa[dst][IL] + madd(mm, zrainaut)
-            solqa[dst][IL] = solqa[dst][IL] + madd(mm, zrainacc)
-            solqa[IL][dst] = solqa[IL][dst] - madd(mm, zrainaut)
-            solqa[IL][dst] = solqa[IL][dst] - madd(mm, zrainacc)
+        for dst, sel_c in ((IS, cold), (IR, ~cold)):
+            mm = liq_m & sel_c
+            solqa[dst][IL] = sadd(solqa[dst][IL], madd(mm, zrainaut))
+            solqa[dst][IL] = sadd(solqa[dst][IL], madd(mm, zrainacc))
+            solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainaut))
+            solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainacc))
     else:
         raise NotImplementedError("IWARMRAIN=1 (Sundqvist) not wired")
 
@@ -599,7 +650,7 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         * rime_base ** e.rcl_const8s
     )
     zsnowrime = jnp.minimum(zsnowrime, 1.0)
-    solqb[IS][IL] = solqb[IS][IL] + madd(rime2, zsnowrime)
+    solqb[IS][IL] = sadd(solqb[IS][IL], madd(rime2, zsnowrime))
 
     # 4.4a melting of snow and ice (ref: 1990-2034)
     zicetot = zqxfg[II] + zqxfg[IS]
@@ -618,8 +669,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         amt = madd(mm, zmelt)
         zqxfg[m] = zqxfg[m] - amt
         zqxfg[n] = zqxfg[n] + amt
-        solqa[n][m] = solqa[n][m] + amt
-        solqa[m][n] = solqa[m][n] - amt
+        solqa[n][m] = sadd(solqa[n][m], amt)
+        solqa[m][n] = sadd(solqa[m][n], -amt)
 
     # 4.4b freezing of rain (ref: 2039-2094)
     rain_p = zqx[IR] > ZEPSEC
@@ -630,12 +681,13 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     llrainliq = (latch & (prainfrac > 0.8)) | (~latch & carry["llrainliq"])
     frz_cold = rain_p & (ztp1 < RTT)
     lam_den = jnp.where(rain_p, zrho * zqx[IR], 1.0)
-    zlambda = (e.rcl_fac1 / lam_den) ** e.rcl_fac2
+    # ZLAMBDA**RCL_CONST6R with the exponents folded into one real power
+    zlambda_c6 = (e.rcl_fac1 / lam_den) ** (e.rcl_fac2 * e.rcl_const6r)
     ztemp = e.rcl_fzrab * (ztp1 - RTT)
     zfrz_het = (
         ptsphy * (e.rcl_const5r / zrho)
         * (jnp.exp(ztemp) - 1.0)
-        * zlambda ** e.rcl_const6r
+        * zlambda_c6
     )
     zfrzmax_liq = jnp.maximum(zfrz_het, 0.0)
     zcons1f = jnp.abs(ptsphy * (1.0 + 0.5 * (RTT - ztp1)) / e.rtaumel)
@@ -644,16 +696,16 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     frz_m = frz_cold & (zfrzmax > ZEPSEC)
     zfrz = jnp.minimum(zqx[IR], zfrzmax)
     amt = madd(frz_m, zfrz)
-    solqa[IS][IR] = solqa[IS][IR] + amt
-    solqa[IR][IS] = solqa[IR][IS] - amt
+    solqa[IS][IR] = sadd(solqa[IS][IR], amt)
+    solqa[IR][IS] = sadd(solqa[IR][IS], -amt)
 
     # 4.4c freezing of liquid (ref: 2099-2112)
     zfrzmax = jnp.maximum((e.rthomo - ztp1) * zrldcp, 0.0)
     frz_m = (zfrzmax > ZEPSEC) & (zqxfg[IL] > ZEPSEC)
     zfrz = jnp.minimum(zqxfg[IL], zfrzmax)
     amt = madd(frz_m, zfrz)
-    solqa[II][IL] = solqa[II][IL] + amt
-    solqa[IL][II] = solqa[IL][II] - amt
+    solqa[II][IL] = sadd(solqa[II][IL], amt)
+    solqa[IL][II] = sadd(solqa[IL][II], -amt)
 
     # 4.5 rain evaporation, Abel and Boutle 2013 (ref: 2192-2279)
     if c.IEVAPRAIN == 2:
@@ -669,34 +721,36 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             & (zqe < zzrh * zqsliq)
         )
         zpreclr = zqxfg[IR] / jnp.where(llo1, zcovptot, 1.0)
-        zesatliq = RV / RD * foeeliq(ztp1, cst, thf)
+        zesatliq = RV / RD * x["zfoeeliq"]
         lam_den = jnp.where(llo1, zrho * zpreclr, 1.0)
-        zlambda = (e.rcl_fac1 / lam_den) ** e.rcl_fac2
-        # T**3._JPRB in the Fortran is a *real* power (libm pow), not x*x*x
+        lam_base = e.rcl_fac1 / lam_den
+        # T**3._JPRB is a *real* power in the Fortran; x*x*x differs by ulps
+        # only and stays far inside the validation tolerance
         zevap_denom = (
             e.rcl_cdenom1 * zesatliq
             - e.rcl_cdenom2 * ztp1 * zesatliq
-            + e.rcl_cdenom3 * jnp.power(ztp1, 3.0) * pap
+            + e.rcl_cdenom3 * (ztp1 * ztp1 * ztp1) * pap
         )
-        zcorr2 = (ztp1 / 273.0) ** 1.5 * 393.0 / (ztp1 + 120.0)
+        ztq = ztp1 / 273.0
+        zcorr2 = ztq * jnp.sqrt(ztq) * 393.0 / (ztp1 + 120.0)  # (T/273)**1.5
         zsubsat = jnp.maximum(zzrh * zqsliq - zqe, 0.0)
         zbeta = (
             (0.5 / zqsliq) * ztp1**2 * zesatliq
             * e.rcl_const1r
             * (zcorr2 / zevap_denom)
             * (
-                0.78 / zlambda ** e.rcl_const4r
+                0.78 / lam_base ** (e.rcl_fac2 * e.rcl_const4r)
                 + e.rcl_const2r
-                * (zrho * zfallcorr) ** 0.5
-                / (zcorr2**0.5 * zlambda ** e.rcl_const3r)
+                * jnp.sqrt(zrho * zfallcorr)
+                / (jnp.sqrt(zcorr2) * lam_base ** (e.rcl_fac2 * e.rcl_const3r))
             )
         )
         zdenom = 1.0 + zbeta * ptsphy
         zdpevap = zcovpclr * zbeta * ptsphy * zsubsat / zdenom
         zevap = jnp.minimum(zdpevap, zqxfg[IR])
         amt = madd(llo1, zevap)
-        solqa[IV][IR] = solqa[IV][IR] + amt
-        solqa[IR][IV] = solqa[IR][IV] - amt
+        solqa[IV][IR] = sadd(solqa[IV][IR], amt)
+        solqa[IR][IV] = sadd(solqa[IR][IV], -amt)
         zcovptot = jnp.where(
             llo1,
             jnp.maximum(
@@ -742,8 +796,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         zdpevap = zdpr * zdtgdp
         zevap = jnp.minimum(zdpevap, zqxfg[IS])
         amt = madd(llo1, zevap)
-        solqa[IV][IS] = solqa[IV][IS] + amt
-        solqa[IS][IV] = solqa[IS][IV] - amt
+        solqa[IV][IS] = sadd(solqa[IV][IS], amt)
+        solqa[IS][IV] = sadd(solqa[IS][IV], -amt)
         zcovptot = jnp.where(
             llo1,
             jnp.maximum(
@@ -763,8 +817,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     # 4.6 evaporate small precipitation amounts (ref: 2426-2435)
     for m in (IR, IS):
         small = zqxfg[m] < e.rlmin
-        solqa[IV][m] = solqa[IV][m] + madd(small, zqxfg[m])
-        solqa[m][IV] = solqa[m][IV] - madd(small, zqxfg[m])
+        solqa[IV][m] = sadd(solqa[IV][m], madd(small, zqxfg[m]))
+        solqa[m][IV] = sadd(solqa[m][IV], -madd(small, zqxfg[m]))
 
     # ==============================================================
     # 5.1 cloud-fraction solver (ref: 2446-2455)
@@ -778,90 +832,118 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     # 5.2.1 conservation scaling of explicit sinks (ref: 2467-2580)
     # ==============================================================
     # The Fortran sorts the 5 species by run-out ratio (ascending strict-<
-    # scan; first minimum wins, ref: 2502-2527) then rescales the negative
-    # entries of the selected row and column (ref: 2533-2580). Here this is
-    # a branch-free 5-round selection with one-hot masks — fully elementwise
-    # so it runs identically on (ncol,) rows and (sublane, lane) VMEM tiles.
+    # scan; first minimum wins, ref: 2502-2527) then, in that order, rescales
+    # the negative entries of the selected row and column, recomputing the
+    # scale factor from the updated matrix each round (ref: 2533-2580).
+    #
+    # The ordering here is computed as lexicographic (ratio, species-index)
+    # ranks from pairwise comparisons — identical to the sequential scan
+    # including its tie rule. The rescale rounds are unavoidable (each round's
+    # factor depends on the previous round's updates) but run on the sparse
+    # matrix with one-hot row/column gathers.
     zsinksum = [
-        chain([-solqa[m][n] for n in range(NCLV)]) for m in range(NCLV)
+        schain([sneg(solqa[m][n]) for n in range(NCLV)]) for m in range(NCLV)
     ]
     zmax = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
     zratio = [zmax[m] / jnp.maximum(zsinksum[m], zmax[m]) for m in range(NCLV)]
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    avail = [jnp.ones_like(ztp1, dtype=bool) for _ in range(NCLV)]
-    for _ in range(NCLV):
-        masked = [jnp.where(avail[m], zratio[m], big) for m in range(NCLV)]
-        vmin = masked[0]
-        for m in range(1, NCLV):
-            vmin = jnp.minimum(vmin, masked[m])
-        sel = [None] * NCLV
-        found = jnp.zeros_like(ztp1, dtype=bool)
-        for m in range(NCLV):
-            win = (masked[m] == vmin) & ~found
-            sel[m] = win
-            found = found | win
-        for m in range(NCLV):
-            avail[m] = avail[m] & ~sel[m]
+    iz = jnp.zeros_like(ztp1, dtype=jnp.int32)
+    rank = []
+    for m in range(NCLV):
+        r = iz
+        for n in range(NCLV):
+            if n == m:
+                continue
+            if n < m:
+                r = r + (zratio[n] <= zratio[m]).astype(jnp.int32)
+            else:
+                r = r + (zratio[n] < zratio[m]).astype(jnp.int32)
+        rank.append(r)
+    for round_i in range(NCLV):
+        sel = [rank[m] == round_i for m in range(NCLV)]
         # row r = selected species: row[n] = solqa[r][n]
         row = [
-            chain([madd(sel[m], solqa[m][n]) for m in range(NCLV)])
+            schain([
+                madd(sel[m], solqa[m][n])
+                for m in range(NCLV)
+                if solqa[m][n] is not None
+            ])
             for n in range(NCLV)
         ]
-        neg = [row[n] < 0.0 for n in range(NCLV)]
-        sink = chain([-row[n] for n in range(NCLV)])
+        neg = [None if row[n] is None else row[n] < 0.0 for n in range(NCLV)]
+        sink = chain([-row[n] for n in range(NCLV) if row[n] is not None])
         zmm = jnp.maximum(
             chain([madd(sel[m], zqx[m]) for m in range(NCLV)]), ZEPSEC
         )
         ratio_r = zmm / jnp.maximum(sink, zmm)
         for n in range(NCLV):
+            if row[n] is None:
+                continue
             new_rn = jnp.where(neg[n], row[n] * ratio_r, row[n])
             for m in range(NCLV):
-                solqa[m][n] = jnp.where(sel[m], new_rn, solqa[m][n])
+                if solqa[m][n] is not None:
+                    solqa[m][n] = jnp.where(sel[m], new_rn, solqa[m][n])
         # column r: col[m] = solqa[m][r] (post row update); rescale entries
-        # flagged negative by the *row* test, exactly as the XLA-path einsum
-        # formulation validated against the reference at 1e-13
+        # flagged negative by the *row* test, exactly as the Fortran's
+        # LLINDEX3(JO,JN) gating of ZSOLQA(JN,JO) (ref: 2566-2576)
         col = [
-            chain([madd(sel[n], solqa[m][n]) for n in range(NCLV)])
+            schain([
+                madd(sel[n], solqa[m][n])
+                for n in range(NCLV)
+                if solqa[m][n] is not None
+            ])
             for m in range(NCLV)
         ]
         for m in range(NCLV):
+            if col[m] is None or neg[m] is None:
+                continue
             new_cm = jnp.where(neg[m], col[m] * ratio_r, col[m])
             for n in range(NCLV):
-                solqa[m][n] = jnp.where(sel[n], new_cm, solqa[m][n])
+                if solqa[m][n] is not None:
+                    solqa[m][n] = jnp.where(sel[n], new_cm, solqa[m][n])
 
     # ==============================================================
     # 5.2.2 implicit 5x5 solve (LHS build + non-pivoting LU,
-    #       ref: 2589-2668) — fully unrolled over species
+    #       ref: 2589-2668) — unrolled with structural zeros skipped
     # ==============================================================
     one = jnp.ones_like(ztp1)
     qlhs = [[None] * NCLV for _ in range(NCLV)]
     for mcol in range(NCLV):
-        for nrow in range(NCLV):
-            if nrow == mcol:
-                diag = one + zfallsink[mcol]
-                for o in range(NCLV):
-                    diag = diag + solqb[o][nrow]
-                qlhs[nrow][mcol] = diag
-            else:
-                qlhs[nrow][mcol] = -solqb[nrow][mcol]
+        diag = sadd(one, zfallsink[mcol])
+        for o in range(NCLV):
+            diag = sadd(diag, solqb[o][mcol])
+        qlhs[mcol][mcol] = diag
+    for nrow in range(NCLV):
+        for mcol in range(NCLV):
+            if nrow != mcol:
+                qlhs[nrow][mcol] = sneg(solqb[nrow][mcol])
     zqxn = [
-        zqx[m] + chain([solqa[m][n] for n in range(NCLV)])
+        zqx[m]
+        + chain([solqa[m][n] for n in range(NCLV) if solqa[m][n] is not None])
         for m in range(NCLV)
     ]
-    # non-pivoting recursive factorization (ref: 2640-2650)
+    # non-pivoting recursive factorization (ref: 2640-2650); eliminating a
+    # structural zero is a no-op, so the sparse skip is value-exact
     for jn in range(NCLV - 1):
         for jm in range(jn + 1, NCLV):
+            if qlhs[jm][jn] is None:
+                continue
             qlhs[jm][jn] = qlhs[jm][jn] / qlhs[jn][jn]
             for ik in range(jn + 1, NCLV):
-                qlhs[jm][ik] = qlhs[jm][ik] - qlhs[jm][jn] * qlhs[jn][ik]
+                if qlhs[jn][ik] is None:
+                    continue
+                qlhs[jm][ik] = sadd(
+                    qlhs[jm][ik], -(qlhs[jm][jn] * qlhs[jn][ik])
+                )
     # backsubstitution (ref: 2654-2668)
     for jn in range(1, NCLV):
         for jm in range(jn):
-            zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
+            if qlhs[jn][jm] is not None:
+                zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
     zqxn[NCLV - 1] = zqxn[NCLV - 1] / qlhs[NCLV - 1][NCLV - 1]
     for jn in range(NCLV - 2, -1, -1):
         for jm in range(jn + 1, NCLV):
-            zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
+            if qlhs[jn][jm] is not None:
+                zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
         zqxn[jn] = zqxn[jn] / qlhs[jn][jn]
 
     # clip small/negative values to vapour (ref: 2673-2680)
@@ -873,7 +955,10 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     # ==============================================================
     # 5.3 precipitation flux to the next level (ref: 2698-2712)
     # ==============================================================
-    pfplsx_next = [zfallsink[m] * zqxn[m] * zrdtgdp for m in range(NCLV)]
+    pfplsx_next = [
+        zero if zfallsink[m] is None else zfallsink[m] * zqxn[m] * zrdtgdp
+        for m in range(NCLV)
+    ]
     zqpre2 = pfplsx_next[IS] + pfplsx_next[IR]
     zcovptot = jnp.where(zqpre2 < ZEPSEC, 0.0, zcovptot)
 
@@ -882,11 +967,10 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     # ==============================================================
     tend_t = x["tend_t_pre"]
     for m in (IL, II, IR, IS):
-        zfluxq = (
-            zpsupsatsrce[m]
-            + zconvsrce[m]
-            + zfallsrce[m]
-            - (zfallsink[m] + zconvsink[m]) * zqxn[m]
+        sinks = sadd(zfallsink[m], zconvsink[m])
+        zfluxq = sadd(
+            sadd(sadd(zpsupsatsrce[m], zconvsrce[m]), zfallsrce[m]),
+            None if sinks is None else -(sinks * zqxn[m]),
         )
         lat = RALVDCP if IPHASE[m] == 1 else RALSDCP
         tend_t = tend_t + lat * (zqxn[m] - zqx[m] - zfluxq) * zqtmst

@@ -60,3 +60,25 @@ def fokoop(t, cst, thf):
     return jnp.minimum(
         thf.rkoop1 - thf.rkoop2 * t, foeeliq(t, cst, thf) / foeeice(t, cst, thf)
     )
+
+
+# -- variants with a precomputed mixed-phase fraction -------------------------
+# Bitwise-identical formulas to the functions above, with foealfa(t) hoisted so
+# one evaluation feeds foeewm/foedem/foeldcpm in the saturation-adjustment
+# Newton iterations (the kernel's hot transcendental path).
+
+def foeewm_a(t, alfa, cst, thf):
+    return thf.r2es * (
+        alfa * jnp.exp(thf.r3les * (t - cst.rtt) / (t - thf.r4les))
+        + (1.0 - alfa) * jnp.exp(thf.r3ies * (t - cst.rtt) / (t - thf.r4ies))
+    )
+
+
+def foedem_a(t, alfa, thf):
+    return alfa * thf.r5alvcp * (1.0 / (t - thf.r4les) ** 2) + (
+        1.0 - alfa
+    ) * thf.r5alscp * (1.0 / (t - thf.r4ies) ** 2)
+
+
+def foeldcpm_a(alfa, thf):
+    return alfa * thf.ralvdcp + (1.0 - alfa) * thf.ralsdcp
