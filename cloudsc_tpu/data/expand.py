@@ -35,11 +35,19 @@ def expand_field(field: np.ndarray, ngptot: int) -> np.ndarray:
     """Tile the trailing (column) axis cyclically out to ngptot columns.
 
     Matches the reference expansion (ref: expand_mod.F90:237-334; python twin
-    src/cloudsc_python/src/cloudscf2py/inputs.py:23-34).
+    src/cloudsc_python/src/cloudscf2py/inputs.py:23-34). Large expansions go
+    through the threaded C++ path (the analogue of the reference's
+    OpenMP-parallel EXPAND); numpy otherwise.
     """
     klon = field.shape[-1]
     if klon == ngptot:
         return field
+    if field.size * (ngptot // max(klon, 1)) > (1 << 20):
+        from ..native import expand_native
+
+        out = expand_native(field, ngptot)
+        if out is not None:
+            return out
     reps = -(-ngptot // klon)  # ceil
     tiled = np.tile(field, (1,) * (field.ndim - 1) + (reps,))
     return np.ascontiguousarray(tiled[..., :ngptot])

@@ -76,20 +76,35 @@ class FieldErrors:
 
 
 def field_errors(name: str, field, ref, ngptotg: int | None = None) -> FieldErrors:
-    """Error statistics for one field (ref: validate_mod.F90 VALIDATE_R1/R2/R3)."""
+    """Error statistics for one field (ref: validate_mod.F90 VALIDATE_R1/R2/R3).
+
+    Large fields take the threaded C++ single-pass path (the analogue of the
+    reference's native cloudsc_validate.c); numpy otherwise.
+    """
     field = np.asarray(field, dtype=np.float64)
     ref = np.asarray(ref, dtype=np.float64)
-    diff = np.abs(field - ref)
     n = ngptotg if ngptotg is not None else field.shape[-1]
+    stats = None
+    if field.size > (1 << 20) and field.shape == ref.shape:
+        from .native import field_stats_native
+
+        stats = field_stats_native(field, ref)
+    if stats is None:
+        diff = np.abs(field - ref)
+        stats = (
+            float(field.min()), float(field.max()), float(diff.max()),
+            float(diff.sum()), float(np.abs(ref).sum()),
+        )
+    minval, maxval, maxerr, errsum, refsum = stats
     return FieldErrors(
         name=name,
         ndim=field.ndim,
-        minval=float(field.min()),
-        maxval=float(field.max()),
-        maxerr=float(diff.max()),
-        errsum=float(diff.sum()),
-        refsum=float(np.abs(ref).sum()),
-        avgpgp=float(diff.sum() / n),
+        minval=float(minval),
+        maxval=float(maxval),
+        maxerr=float(maxerr),
+        errsum=float(errsum),
+        refsum=float(refsum),
+        avgpgp=float(errsum / n),
     )
 
 
