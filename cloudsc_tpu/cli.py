@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="compute engine: fused Pallas TPU kernel or XLA scan "
                         "(auto = pallas on TPU fp32, scan otherwise)")
+    p.add_argument("--write-input", default=None, metavar="PATH",
+                   help="snapshot the (unexpanded) input state to PATH.h5 "
+                        "(also via CLOUDSC_WRITE_INPUT)")
+    p.add_argument("--write-reference", default=None, metavar="PATH",
+                   help="snapshot the outputs as a reference.h5 to PATH "
+                        "(also via CLOUDSC_WRITE_REFERENCE)")
     return p
 
 
@@ -101,6 +107,36 @@ def main(argv=None) -> int:
     if not args.no_validate:
         ref = load_reference(ref_path, ngptot=args.ngptot)
         validate_outputs(out, ref, ngptotg=args.ngptot)
+
+    # snapshot hooks for regenerating goldens — the Serialbox write hooks of
+    # the reference (CLOUDSC_WRITE_INPUT/CLOUDSC_WRITE_REFERENCE,
+    # ref: src/prototype1/support/serialize_mod.F90:62-130, README.md:199-205)
+    write_input = args.write_input or os.environ.get("CLOUDSC_WRITE_INPUT")
+    write_ref = args.write_reference or os.environ.get("CLOUDSC_WRITE_REFERENCE")
+    if write_input:
+        from .data import write_h5
+
+        klon = inp.klon_file
+        snap = {k: v[..., :klon] if hasattr(v, "ndim") and v.ndim else v
+                for k, v in inp.fields.items()}
+        write_h5(write_input, snap, inp.scalars)
+        print(f" wrote input snapshot -> {write_input}")
+    if write_ref:
+        import numpy as np
+
+        from .data import write_h5
+        from .validate import FIELD_ATTR, REF_DATASET
+
+        klon = inp.klon_file
+        snap = {
+            REF_DATASET[name]: np.asarray(getattr(out, attr))[..., :klon]
+            for name, attr in FIELD_ATTR.items()
+        }
+        write_h5(
+            write_ref, snap,
+            {"KLON": klon, "KLEV": inp.klev, "KFLDX": inp.scalars.get("KFLDX", 0)},
+        )
+        print(f" wrote reference snapshot -> {write_ref}")
     return 0
 
 

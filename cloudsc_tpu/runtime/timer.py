@@ -23,6 +23,16 @@ import time
 ZHPM = 12482329.0
 
 
+def _mycpu() -> int:
+    """Core id of the calling thread (ref: src/common/module/mycpu.c:1-31)."""
+    try:
+        import os
+
+        return os.sched_getcpu()
+    except (AttributeError, OSError):
+        return -1
+
+
 def flops_for_columns(ncols: int) -> float:
     return ZHPM * (ncols / 100.0)
 
@@ -82,7 +92,7 @@ class PerformanceTimer:
             lines.append(
                 " " + f"{numomp:>10d}{ngptot:>10d}{cols:>10d}{ngpblks:>10d}{nproma:>10d}"
                 + f" {dev:>4d} : {int(tloc * 1000):>10d}{int(mflops):>10d}"
-                + f"{int(thrput):>10d} @ rank#0:device#{dev}"
+                + f"{int(thrput):>10d} @ rank#0:device#{dev}:core#{_mycpu()}"
             )
         tdiff = self.tend - self.tstart
         if tdiff > 0:

@@ -13,6 +13,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The env var alone is not enough where a platform plugin overrides it during
+# import (the tunneled-TPU "axon" plugin does); the config update always wins.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 
 import cloudsc_tpu  # noqa: E402
