@@ -31,9 +31,12 @@ def test_expansion_replicates(input_100, params):
     for name in ("plude", "pfplsl", "tendency_loc_t", "prainfrac_toprfz"):
         a = np.asarray(getattr(out100, name))
         b = np.asarray(getattr(out250, name))
-        np.testing.assert_array_equal(b[..., :100], a)
-        np.testing.assert_array_equal(b[..., 100:200], a)
-        np.testing.assert_array_equal(b[..., 200:250], a[..., :50])
+        # replicated columns within ONE run must be bitwise identical...
+        np.testing.assert_array_equal(b[..., :100], b[..., 100:200])
+        np.testing.assert_array_equal(b[..., :50], b[..., 200:250])
+        # ...across different column counts XLA may vectorize/contract FMAs
+        # differently per shape, so allow ulp-level variance there
+        np.testing.assert_allclose(b[..., :100], a, rtol=1e-13, atol=0.0)
 
 
 def test_padding_invariance(input_100, params):
