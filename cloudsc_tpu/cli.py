@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="compute engine: fused Pallas TPU kernel or XLA scan "
                         "(auto = pallas on TPU fp32, scan otherwise)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the compute loop to DIR "
+                        "(the atlas_Trace / gprof analogue)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans during the run (the validator's "
+                        "uninitialized-variable canary, made eager)")
     p.add_argument("--write-input", default=None, metavar="PATH",
                    help="snapshot the (unexpanded) input state to PATH.h5 "
                         "(also via CLOUDSC_WRITE_INPUT)")
@@ -96,7 +102,14 @@ def main(argv=None) -> int:
         f"NPROMA={args.nproma}, NGPBLKS={ngpblks}"
     )
 
-    out, timings, timer = driver.run(inp, iterations=args.iterations)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            out, timings, timer = driver.run(inp, iterations=args.iterations)
+        print(f" profiler trace -> {args.profile}")
+    else:
+        out, timings, timer = driver.run(inp, iterations=args.iterations)
     timer.print_performance(args.nproma, ngpblks, args.ngptot, numomp=args.numomp)
     print(
         f" device compute: {timings.compute_s * 1e3:9.3f} ms | h2d:"

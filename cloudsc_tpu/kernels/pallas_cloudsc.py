@@ -87,20 +87,62 @@ def pallas_supported(params) -> bool:
     )
 
 
-def _kernel(c, nlev, ktop, *refs):
-    nin = len(_IN_STREAMED) + 3 + 2 + 2 + 4   # streamed + next + pclv/tcld + paph + resident
-    ins, outs, scr = refs[:nin], refs[nin:-1], refs[-1]
+# row order inside the packed input array (packed-storage mode — the
+# CLOUDSC_PACKED_STORAGE / FIELD-API packed-buffer analogue,
+# ref: README.md:324-330, cloudsc_field_state_mod.F90)
+_PACK_ROWS = _IN_STREAMED + [f"pclv{m}" for m in range(4)] + [
+    f"tcld{m}" for m in range(4)
+]
+_PACK_IDX = {name: i for i, name in enumerate(_PACK_ROWS)}
+_NEXT_ROWS = ["pmfu", "pmfd", "plu"]
+
+
+def _unpack_inputs(ins, packed):
+    """-> (r, (pmfu_n, pmfd_n, plu_n), (paph_k, paph_k1), (plsm, ldcum, ktype,
+    paph_surf)) as (SB, 128) arrays, from either input layout."""
+    if packed:
+        pack, nxt, paph_k, paph_k1, col = ins
+        r = {name: pack[0, _PACK_IDX[name]] for name in _IN_STREAMED}
+        r["pclv"] = [pack[0, _PACK_IDX[f"pclv{m}"]] for m in range(4)]
+        r["tendency_tmp_cld"] = [
+            pack[0, _PACK_IDX[f"tcld{m}"]] for m in range(4)
+        ]
+        nxts = tuple(nxt[0, j] for j in range(3))
+        cols = (col[0], col[1] > 0.5, col[2].astype(jnp.int32), col[3])
+        return r, nxts, (paph_k[0], paph_k1[0]), cols
     it = iter(ins)
-    r = {name: next(it) for name in _IN_STREAMED}
+    r = {name: next(it)[0] for name in _IN_STREAMED}
     r_pmfu_n, r_pmfd_n, r_plu_n = next(it), next(it), next(it)
     r_pclv, r_tcld = next(it), next(it)
-    r_paph_k, r_paph_k1 = next(it), next(it)
+    r["pclv"] = [r_pclv[m, 0] for m in range(4)]
+    r["tendency_tmp_cld"] = [r_tcld[m, 0] for m in range(4)]
+    paph_k, paph_k1 = next(it), next(it)
     r_plsm, r_ldcum, r_ktype, r_paph_surf = next(it), next(it), next(it), next(it)
+    return (
+        r,
+        (r_pmfu_n[0], r_pmfd_n[0], r_plu_n[0]),
+        (paph_k[0], paph_k1[0]),
+        (r_plsm[...], r_ldcum[...] > 0, r_ktype[...], r_paph_surf[...]),
+    )
 
-    (o_plude, o_pcov, o_tend_t, o_tend_q, o_tend_a, o_tcld,
-     o_pfsqlf, o_pfsqif, o_pfcqlng, o_pfcqnng, o_pfsqrf, o_pfsqsf,
-     o_pfcqrng, o_pfcqsng, o_pfsqltur, o_pfsqitur,
-     o_pfplsl, o_pfplsn, o_pfhpsl, o_pfhpsn, o_prainfrac) = outs
+
+# row order in the packed per-level output buffer
+_OLEV_ROWS = ("plude", "pcovptot", "tend_t", "tend_q", "tend_a",
+              "tcld0", "tcld1", "tcld2", "tcld3", "tcld4")
+# row order in the packed half-level flux buffer (matches CloudscOutputs)
+_OHALF_ROWS = ("pfsqlf", "pfsqif", "pfcqlng", "pfcqnng", "pfsqrf", "pfsqsf",
+               "pfcqrng", "pfcqsng", "pfsqltur", "pfsqitur",
+               "pfplsl", "pfplsn", "pfhpsl", "pfhpsn")
+_OH = {name: i for i, name in enumerate(_OHALF_ROWS)}
+
+
+def _kernel(c, nlev, ktop, packed, *refs):
+    nin = 5 if packed else len(_IN_STREAMED) + 3 + 2 + 2 + 4
+    ins, outs, scr = refs[:nin], refs[nin:-1], refs[-1]
+
+    # outputs are always packed: one per-level buffer, one half-level flux
+    # buffer, one per-column buffer — 3 output DMAs per grid step instead of 21
+    o_lev, o_half, o_prainfrac = outs
 
     k = pl.program_id(1)
     zqtmst, ptsphy = c.zqtmst, c.ptsphy
@@ -114,22 +156,22 @@ def _kernel(c, nlev, ktop, *refs):
     # (ref: 2788-2867; the running sums live in scratch)
     pfplsl = scr[_S_PFPLSX + IR] + scr[_S_PFPLSX + IL]
     pfplsn = scr[_S_PFPLSX + IS] + scr[_S_PFPLSX + II]
-    o_pfplsl[0] = pfplsl
-    o_pfplsn[0] = pfplsn
-    o_pfhpsl[0] = -c.RLVTT * pfplsl
-    o_pfhpsn[0] = -c.RLSTT * pfplsn
-    o_pfsqlf[0] = scr[_S_A_LF]
-    o_pfsqif[0] = scr[_S_A_IF]
-    o_pfcqlng[0] = scr[_S_A_LNG]
-    o_pfcqnng[0] = scr[_S_A_NNG]
-    o_pfsqltur[0] = scr[_S_A_LTUR]
-    o_pfsqitur[0] = scr[_S_A_ITUR]
+    o_half[0, _OH["pfplsl"]] = pfplsl
+    o_half[0, _OH["pfplsn"]] = pfplsn
+    o_half[0, _OH["pfhpsl"]] = -c.RLVTT * pfplsl
+    o_half[0, _OH["pfhpsn"]] = -c.RLSTT * pfplsn
+    o_half[0, _OH["pfsqlf"]] = scr[_S_A_LF]
+    o_half[0, _OH["pfsqif"]] = scr[_S_A_IF]
+    o_half[0, _OH["pfcqlng"]] = scr[_S_A_LNG]
+    o_half[0, _OH["pfcqnng"]] = scr[_S_A_NNG]
+    o_half[0, _OH["pfsqltur"]] = scr[_S_A_LTUR]
+    o_half[0, _OH["pfsqitur"]] = scr[_S_A_ITUR]
     # rain/snow accumulate onto the liquid/ice flux of the level above
     # (intentional-looking aliasing preserved from ref: 2818-2819)
-    o_pfsqrf[0] = scr[_S_ALF_PREV] + scr[_S_RAININC_PREV]
-    o_pfsqsf[0] = scr[_S_AIF_PREV] + scr[_S_SNOWINC_PREV]
-    o_pfcqrng[0] = scr[_S_ALNG_PREV] + scr[_S_LNEGR_PREV]
-    o_pfcqsng[0] = scr[_S_ANNG_PREV] + scr[_S_LNEGS_PREV]
+    o_half[0, _OH["pfsqrf"]] = scr[_S_ALF_PREV] + scr[_S_RAININC_PREV]
+    o_half[0, _OH["pfsqsf"]] = scr[_S_AIF_PREV] + scr[_S_SNOWINC_PREV]
+    o_half[0, _OH["pfcqrng"]] = scr[_S_ALNG_PREV] + scr[_S_LNEGR_PREV]
+    o_half[0, _OH["pfcqsng"]] = scr[_S_ANNG_PREV] + scr[_S_LNEGS_PREV]
 
     @pl.when(k == nlev)
     def _flush():
@@ -137,12 +179,10 @@ def _kernel(c, nlev, ktop, *refs):
 
     @pl.when(k < nlev)
     def _level():
-        raw = {name: r[name][0] for name in _IN_STREAMED}
-        raw["pclv"] = [r_pclv[m, 0] for m in range(4)]
-        raw["tendency_tmp_cld"] = [r_tcld[m, 0] for m in range(4)]
-        paph_k = r_paph_k[0]
-        paph_k1 = r_paph_k1[0]
-        paph_surf = r_paph_surf[...]
+        raw, nxts, paphs, cols = _unpack_inputs(ins, packed)
+        pmfu_n, pmfd_n, plu_n = nxts
+        paph_k, paph_k1 = paphs
+        plsm, ldcum_b, ktype_i, paph_surf = cols
 
         ini = scheme.level_init(raw, c)
         is_scan = k >= ktop
@@ -161,13 +201,13 @@ def _kernel(c, nlev, ktop, *refs):
             pap=raw["pap"], pap_prev=scr[_S_PAP_PREV],
             paph=paph_k, paph_next=paph_k1, paph_surf=paph_surf,
             pmfu=raw["pmfu"], pmfd=raw["pmfd"],
-            pmfu_next=r_pmfu_n[0], pmfd_next=r_pmfd_n[0],
-            plu_next=r_plu_n[0],
+            pmfu_next=pmfu_n, pmfd_next=pmfd_n,
+            plu_next=plu_n,
             pvervel=raw["pvervel"], phrsw=raw["phrsw"], phrlw=raw["phrlw"],
             plude_in=raw["plude"], psnde=raw["psnde"], psupsat=raw["psupsat"],
-            land=r_plsm[...] > 0.5,
-            ldcum=r_ldcum[...] > 0,
-            ktype=r_ktype[...],
+            land=plsm > 0.5,
+            ldcum=ldcum_b,
+            ktype=ktype_i,
             not_first=k > ktop,
             not_last=k < nlev - 1,
         )
@@ -191,15 +231,15 @@ def _kernel(c, nlev, ktop, *refs):
         # per-level outputs; rows above NCLDTOP keep their section-1 values
         # exactly as in the Fortran (the JK loop starts at NCLDTOP, ref: 854)
         plude_row = sel(ys["plude"], raw["plude"])
-        o_plude[0] = plude_row
-        o_pcov[0] = sel(ys["pcovptot"], zero)
-        o_tend_t[0] = sel(ys["tend_t"], ini["tend_t_pre"])
-        o_tend_q[0] = sel(ys["tend_q"], ini["tend_q_pre"])
-        o_tend_a[0] = sel(ys["tend_a"], zero)
+        o_lev[0, 0] = plude_row
+        o_lev[0, 1] = sel(ys["pcovptot"], zero)
+        o_lev[0, 2] = sel(ys["tend_t"], ini["tend_t_pre"])
+        o_lev[0, 3] = sel(ys["tend_q"], ini["tend_q_pre"])
+        o_lev[0, 4] = sel(ys["tend_a"], zero)
         zqxn_eff = [sel(ys["zqxn"][m], zero) for m in range(NCLV)]
-        o_tcld[IV, 0] = zero
+        o_lev[0, 5 + IV] = zero
         for m in (IL, II, IR, IS):
-            o_tcld[m, 0] = (zqxn_eff[m] - ini["zqx0"][m]) * zqtmst
+            o_lev[0, 5 + m] = (zqxn_eff[m] - ini["zqx0"][m]) * zqtmst
 
         # carry updates — frozen (zero-state) above NCLDTOP
         scr[_S_ZANEWM1] = sel(new_carry["zanewm1"], scr[_S_ZANEWM1])
@@ -249,7 +289,8 @@ def _kernel(c, nlev, ktop, *refs):
         scr[_S_A_ITUR] = scr[_S_A_ITUR] + raw["pvfi"] * ptsphy * zgdph_r
 
 
-def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret):
+def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
+           packed=False):
     c = scheme.derived_consts(params, ptsphy, dtype)
     ktop = c.NCLDTOP - 1
     SB = sublanes
@@ -288,46 +329,47 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret):
             (SB, LANES), lambda i, k: (i, 0), memory_space=pltpu.VMEM,
         )
 
-    in_specs = (
-        [spec_streamed() for _ in _IN_STREAMED]
-        + [spec_streamed_next() for _ in range(3)]
-        + [spec_4d() for _ in range(2)]
-        + [spec_half(0), spec_half(1)]
-        + [spec_col() for _ in range(4)]
-    )
-
-    def spec_lev_out():
-        return pl.BlockSpec(
-            (1, SB, LANES), lambda i, k: (lev(k), i, 0),
-            memory_space=pltpu.VMEM,
+    if packed:
+        # packed storage: ONE streamed block carries every per-level field
+        # (single DMA per step), one 3-row block for the k+1 reads, one
+        # resident per-column block (ref: README.md:324-330 packed buffers)
+        nrows = len(_PACK_ROWS)
+        in_specs = [
+            pl.BlockSpec((1, nrows, SB, LANES),
+                         lambda i, k: (lev(k), 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, SB, LANES),
+                         lambda i, k: (jnp.minimum(k + 1, nlev - 1), 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            spec_half(0), spec_half(1),
+            pl.BlockSpec((4, SB, LANES), lambda i, k: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        in_specs = (
+            [spec_streamed() for _ in _IN_STREAMED]
+            + [spec_streamed_next() for _ in range(3)]
+            + [spec_4d() for _ in range(2)]
+            + [spec_half(0), spec_half(1)]
+            + [spec_col() for _ in range(4)]
         )
 
-    def spec_cld_out():
-        return pl.BlockSpec(
-            (NCLV, 1, SB, LANES), lambda i, k: (0, lev(k), i, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    def spec_half_out():
-        return pl.BlockSpec(
-            (1, SB, LANES), lambda i, k: (k, i, 0), memory_space=pltpu.VMEM,
-        )
-
-    out_specs = (
-        [spec_lev_out() for _ in range(5)]
-        + [spec_cld_out()]
-        + [spec_half_out() for _ in range(14)]
-        + [spec_col()]
-    )
     f = jnp.dtype(dtype)
-    out_shape = (
-        [jax.ShapeDtypeStruct((nlev, nblk, LANES), f) for _ in range(5)]
-        + [jax.ShapeDtypeStruct((NCLV, nlev, nblk, LANES), f)]
-        + [jax.ShapeDtypeStruct((nlev + 1, nblk, LANES), f) for _ in range(14)]
-        + [jax.ShapeDtypeStruct((nblk, LANES), f)]
-    )
+    nol, noh = len(_OLEV_ROWS), len(_OHALF_ROWS)
+    out_specs = [
+        pl.BlockSpec((1, nol, SB, LANES), lambda i, k: (lev(k), 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, noh, SB, LANES), lambda i, k: (k, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        spec_col(),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nlev, nol, nblk, LANES), f),
+        jax.ShapeDtypeStruct((nlev + 1, noh, nblk, LANES), f),
+        jax.ShapeDtypeStruct((nblk, LANES), f),
+    ]
 
-    kernel = functools.partial(_kernel, c, nlev, ktop)
+    kernel = functools.partial(_kernel, c, nlev, ktop, packed)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -342,35 +384,86 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret):
     )
 
 
+def pack_inputs(fields: dict, sublanes: int = 32):
+    """Build the packed-storage input pytree (pack, nxt, paph, col) +
+    (nlev, ncol) — do this once outside the hot loop; cloudsc_pallas with
+    packed inputs then issues a single input DMA per grid step."""
+    pt = fields["pt"]
+    nlev, ncol = pt.shape
+    shp, nblk, _ = _shaper(fields, sublanes)
+    dtype = pt.dtype
+    rows = [fields[name] for name in _IN_STREAMED]
+    rows += [fields["pclv"][m] for m in range(4)]
+    rows += [fields["tendency_tmp_cld"][m] for m in range(4)]
+    pack = shp(jnp.stack([r.astype(dtype) for r in rows], axis=1))
+    nxt = shp(jnp.stack(
+        [fields["pmfu"], fields["pmfd"], fields["plu"]], axis=1
+    ))
+    paph = shp(fields["paph"])
+    col = shp(jnp.stack([
+        fields["plsm"].astype(dtype),
+        fields["ldcum"].astype(dtype),
+        fields["ktype"].astype(dtype),
+        fields["paph"][nlev].astype(dtype),
+    ]))
+    # ncol is carried OUTSIDE the arrays (static under jit/fori_loop)
+    return dict(pack=pack, nxt=nxt, paph=paph, col=col), ncol
+
+
+def _shaper(fields: dict, sublanes: int):
+    """(shp fn, nblk, target): pad columns to the tile and fold to lanes."""
+    ncol = fields["pt"].shape[-1]
+    tile = sublanes * LANES
+    target = -(-ncol // tile) * tile
+    nblk = target // LANES
+
+    def shp(a):  # (..., ncol) -> (..., nblk, LANES)
+        if target != ncol:
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, target - ncol)]
+            a = jnp.pad(a, pad, mode="edge")
+        return a.reshape(a.shape[:-1] + (nblk, LANES))
+
+    return shp, nblk, target
+
+
 def cloudsc_pallas(fields: dict, params, ptsphy: float,
-                   sublanes: int = 32, interpret: bool = False
+                   sublanes: int = 32, interpret: bool = False,
+                   packed=False, ncol_packed: int | None = None
                    ) -> CloudscOutputs:
     """Run the fused kernel; same contract as physics.cloudsc (jit-able).
 
     Columns are padded (edge-replicated so padded lanes stay finite) to a
     multiple of sublanes*128 and the pad is sliced off the outputs.
+
+    `packed` selects the packed-storage layout (one fused input buffer — the
+    CLOUDSC_PACKED_STORAGE analogue): True packs here; or pass the pytree from
+    `pack_inputs` directly to skip per-call packing.
     """
     if not pallas_supported(params):
         raise NotImplementedError(
             "aerosol couplings not wired in the Pallas kernel; use the XLA path"
         )
+    if packed is not False:
+        if packed is True:
+            p, ncol = pack_inputs(fields, sublanes)
+        else:
+            p, ncol = packed, ncol_packed
+        nlev = p["pack"].shape[0]
+        nblk = p["pack"].shape[2]
+        dtype = p["pack"].dtype
+        target = nblk * LANES
+        if ncol is None:
+            ncol = target
+        args = [p["pack"], p["nxt"], p["paph"], p["paph"], p["col"]]
+        call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
+                      packed=True)
+        res = call(*args)
+        return _assemble(res, nblk, ncol, target)
+
     pt = fields["pt"]
     dtype = pt.dtype
     nlev, ncol = pt.shape
-    tile = sublanes * LANES
-    target = -(-ncol // tile) * tile
-
-    def padc(a):
-        if target == ncol:
-            return a
-        pad = [(0, 0)] * (a.ndim - 1) + [(0, target - ncol)]
-        return jnp.pad(a, pad, mode="edge")
-
-    nblk = target // LANES
-
-    def shp(a):  # (..., ncol) -> (..., nblk, LANES)
-        a = padc(a)
-        return a.reshape(a.shape[:-1] + (nblk, LANES))
+    shp, nblk, target = _shaper(fields, sublanes)
 
     args = [shp(fields[name]) for name in _IN_STREAMED]
     args += [shp(fields["pmfu"]), shp(fields["pmfd"]), shp(fields["plu"])]
@@ -386,22 +479,34 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
 
     call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret)
     res = call(*args)
+    return _assemble(res, nblk, ncol, target)
+
+
+def _assemble(res, nblk, ncol, target) -> CloudscOutputs:
+    """Slice the packed output buffers into the CloudscOutputs contract.
+
+    Under jit these are lazy slices — a consumer that touches only a few
+    fields (e.g. a benchmark loop) pays only for those."""
+    o_lev, o_half, o_prainfrac = res
 
     def unshp(a):  # (..., nblk, LANES) -> (..., ncol)
         a = a.reshape(a.shape[:-2] + (nblk * LANES,))
         return a[..., :ncol] if target != ncol else a
 
-    (plude, pcov, tend_t, tend_q, tend_a, tcld,
-     pfsqlf, pfsqif, pfcqlng, pfcqnng, pfsqrf, pfsqsf,
-     pfcqrng, pfcqsng, pfsqltur, pfsqitur,
-     pfplsl, pfplsn, pfhpsl, pfhpsn, prainfrac) = [unshp(a) for a in res]
+    lev = {name: unshp(o_lev[:, j]) for j, name in enumerate(_OLEV_ROWS)}
+    half = {name: unshp(o_half[:, j]) for j, name in enumerate(_OHALF_ROWS)}
+    tcld = jnp.stack([lev[f"tcld{m}"] for m in range(NCLV)])
 
     return CloudscOutputs(
-        plude=plude, pcovptot=pcov, prainfrac_toprfz=prainfrac,
-        pfsqlf=pfsqlf, pfsqif=pfsqif, pfcqlng=pfcqlng, pfcqnng=pfcqnng,
-        pfsqrf=pfsqrf, pfsqsf=pfsqsf, pfcqrng=pfcqrng, pfcqsng=pfcqsng,
-        pfsqltur=pfsqltur, pfsqitur=pfsqitur,
-        pfplsl=pfplsl, pfplsn=pfplsn, pfhpsl=pfhpsl, pfhpsn=pfhpsn,
-        tendency_loc_t=tend_t, tendency_loc_q=tend_q, tendency_loc_a=tend_a,
-        tendency_loc_cld=tcld,
+        plude=lev["plude"], pcovptot=lev["pcovptot"],
+        prainfrac_toprfz=unshp(o_prainfrac),
+        pfsqlf=half["pfsqlf"], pfsqif=half["pfsqif"],
+        pfcqlng=half["pfcqlng"], pfcqnng=half["pfcqnng"],
+        pfsqrf=half["pfsqrf"], pfsqsf=half["pfsqsf"],
+        pfcqrng=half["pfcqrng"], pfcqsng=half["pfcqsng"],
+        pfsqltur=half["pfsqltur"], pfsqitur=half["pfsqitur"],
+        pfplsl=half["pfplsl"], pfplsn=half["pfplsn"],
+        pfhpsl=half["pfhpsl"], pfhpsn=half["pfhpsn"],
+        tendency_loc_t=lev["tend_t"], tendency_loc_q=lev["tend_q"],
+        tendency_loc_a=lev["tend_a"], tendency_loc_cld=tcld,
     )

@@ -11,6 +11,7 @@ plus compile time which has no reference analogue.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -45,6 +46,7 @@ class CloudscDriver:
         self.dtype = dtype or jnp.float32
         self.nproma = max(int(nproma), 1)
         self.mesh = mesh if mesh is not None else (column_mesh() if use_mesh else None)
+        self.sublanes = sublanes
         self.backend = self._resolve_backend(backend)
         if self.backend == "pallas" and self.dtype == jnp.float64:
             raise ValueError(
@@ -53,10 +55,20 @@ class CloudscDriver:
                 "(the reference's SINGLE/double build split, "
                 "ref: parkind1.F90:40-44)"
             )
+        # packed storage (the CLOUDSC_PACKED_STORAGE analogue, on by default
+        # for the single-device Pallas path: one input DMA per grid step)
+        self.packed = (
+            self.backend == "pallas"
+            and self.mesh is None
+            and os.environ.get("CLOUDSC_PACKED_STORAGE", "1") != "0"
+        )
         kw = dict(sublanes=sublanes) if self.backend == "pallas" else {}
         if self.mesh is not None:
             self._fn = sharded_cloudsc(params, ptsphy, self.mesh,
                                        backend=self.backend, **kw)
+        elif self.packed:
+            self._fn = None  # built per column count in fn_for()
+            self._fn_cache = {}
         elif self.backend == "pallas":
             from ..kernels import cloudsc_pallas
             self._fn = jax.jit(
@@ -64,6 +76,23 @@ class CloudscDriver:
             )
         else:
             self._fn = jax.jit(lambda f: cloudsc(f, params, ptsphy))
+
+    def fn_for(self, ncol: int):
+        """The jitted step for payloads prepared by prepare()."""
+        if not self.packed:
+            return self._fn
+        fn = self._fn_cache.get(ncol)
+        if fn is None:
+            from ..kernels import cloudsc_pallas
+
+            fn = jax.jit(
+                lambda p: cloudsc_pallas(
+                    None, self.params, self.ptsphy, sublanes=self.sublanes,
+                    packed=p, ncol_packed=ncol,
+                )
+            )
+            self._fn_cache[ncol] = fn
+        return fn
 
     def _resolve_backend(self, backend: str) -> str:
         """'auto' picks the fused Pallas kernel on TPU (fp32, default scheme
@@ -89,12 +118,19 @@ class CloudscDriver:
         return mult
 
     def prepare(self, inp) -> tuple[dict, int]:
-        """InputData -> padded jnp field dict (+ true column count)."""
-        from ..data.expand import pad_columns
+        """InputData -> device-ready payload (+ true column count).
 
+        Packed mode returns the packed-storage pytree (pack once, outside the
+        hot loop — the FIELD-API buffer build analogue); otherwise the padded
+        field dict."""
         fields = make_inputs(inp, dtype=self.dtype)
-        mult = self._pad_multiple()
         ncol = inp.ngptot
+        if self.packed:
+            from ..kernels.pallas_cloudsc import pack_inputs
+
+            packed, _ = pack_inputs(fields, self.sublanes)
+            return packed, ncol
+        mult = self._pad_multiple()
         target = -(-ncol // mult) * mult
         if target != ncol:
             padded = {}
@@ -109,6 +145,7 @@ class CloudscDriver:
     def run(self, inp, iterations: int = 1, warmup: bool = True):
         """Run the scheme; returns (outputs on host, Timings, PerformanceTimer)."""
         fields, ncol = self.prepare(inp)
+        fn = self.fn_for(ncol)
         timings = Timings()
 
         t0 = time.perf_counter()
@@ -121,7 +158,7 @@ class CloudscDriver:
 
         if warmup:
             t0 = time.perf_counter()
-            out = sync(self._fn(fields))
+            out = sync(fn(fields))
             timings.compile_s = time.perf_counter() - t0
 
         ndev = self.mesh.devices.size if self.mesh is not None else 1
@@ -129,7 +166,7 @@ class CloudscDriver:
         timer.start()
         t0 = time.perf_counter()
         for _ in range(iterations):
-            out = self._fn(fields)
+            out = fn(fields)
         out = sync(out)
         timings.compute_s = (time.perf_counter() - t0) / iterations
         timer.end()
