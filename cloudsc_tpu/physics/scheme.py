@@ -858,48 +858,61 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             else:
                 r = r + (zratio[n] < zratio[m]).astype(jnp.int32)
         rank.append(r)
+    # Lazy-scaling rounds. The sequential algorithm only ever applies TWO
+    # factors to an entry: ratio(row species, at its round) when the entry is
+    # negative, and ratio(column species, at its round) when the MIRRORED
+    # entry is negative (ref: 2566-2576). Since every species is selected
+    # exactly once, each round's sink for the selected species r needs the
+    # original row r with at most ONE prior factor (the column update from an
+    # earlier round) applied — exactly reproduced below with ratio_fin
+    # initialised to 1 — and the factors are applied per entry once at the
+    # end. Signs never change under the positive scalings, so the negativity
+    # masks come from the original matrix.
+    neg0 = [
+        [None if solqa[m][n] is None else solqa[m][n] < 0.0
+         for n in range(NCLV)]
+        for m in range(NCLV)
+    ]
+    one = jnp.ones_like(ztp1)
+    ratio_fin = [one for _ in range(NCLV)]
     for round_i in range(NCLV):
         sel = [rank[m] == round_i for m in range(NCLV)]
-        # row r = selected species: row[n] = solqa[r][n]
-        row = [
-            schain([
+        sink = None
+        for n in range(NCLV):
+            # row0[n] = solqa0[r][n]; fac = ratio_fin[n] where neg0[n][r]
+            row0_n = schain([
                 madd(sel[m], solqa[m][n])
                 for m in range(NCLV)
                 if solqa[m][n] is not None
             ])
-            for n in range(NCLV)
-        ]
-        neg = [None if row[n] is None else row[n] < 0.0 for n in range(NCLV)]
-        sink = chain([-row[n] for n in range(NCLV) if row[n] is not None])
+            if row0_n is None:
+                continue
+            negT = None
+            for j in range(NCLV):
+                if neg0[n][j] is None:
+                    continue
+                t = sel[j] & neg0[n][j]
+                negT = t if negT is None else (negT | t)
+            if negT is not None:
+                fac = jnp.where(negT, ratio_fin[n], 1.0)
+                row0_n = row0_n * fac
+            sink = sadd(sink, -row0_n)
         zmm = jnp.maximum(
             chain([madd(sel[m], zqx[m]) for m in range(NCLV)]), ZEPSEC
         )
         ratio_r = zmm / jnp.maximum(sink, zmm)
-        for n in range(NCLV):
-            if row[n] is None:
-                continue
-            new_rn = jnp.where(neg[n], row[n] * ratio_r, row[n])
-            for m in range(NCLV):
-                if solqa[m][n] is not None:
-                    solqa[m][n] = jnp.where(sel[m], new_rn, solqa[m][n])
-        # column r: col[m] = solqa[m][r] (post row update); rescale entries
-        # flagged negative by the *row* test, exactly as the Fortran's
-        # LLINDEX3(JO,JN) gating of ZSOLQA(JN,JO) (ref: 2566-2576)
-        col = [
-            schain([
-                madd(sel[n], solqa[m][n])
-                for n in range(NCLV)
-                if solqa[m][n] is not None
-            ])
-            for m in range(NCLV)
-        ]
         for m in range(NCLV):
-            if col[m] is None or neg[m] is None:
+            ratio_fin[m] = jnp.where(sel[m], ratio_r, ratio_fin[m])
+    for m in range(NCLV):
+        for n in range(NCLV):
+            if solqa[m][n] is None:
                 continue
-            new_cm = jnp.where(neg[m], col[m] * ratio_r, col[m])
-            for n in range(NCLV):
-                if solqa[m][n] is not None:
-                    solqa[m][n] = jnp.where(sel[n], new_cm, solqa[m][n])
+            v = solqa[m][n]
+            if neg0[m][n] is not None:
+                v = v * jnp.where(neg0[m][n], ratio_fin[m], 1.0)
+            if neg0[n][m] is not None:
+                v = v * jnp.where(neg0[n][m], ratio_fin[n], 1.0)
+            solqa[m][n] = v
 
     # ==============================================================
     # 5.2.2 implicit 5x5 solve (LHS build + non-pivoting LU,
