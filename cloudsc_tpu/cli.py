@@ -43,6 +43,15 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="compute engine: fused Pallas TPU kernel or XLA scan "
                         "(auto = pallas on TPU fp32, scan otherwise)")
+    p.add_argument("--iwarmrain", type=int, choices=(1, 2), default=2,
+                   help="warm rain: 1 Sundqvist / 2 Khairoutdinov-Kogan "
+                        "(ref default 2; ref: cloudsc.F90:562-580)")
+    p.add_argument("--ievaprain", type=int, choices=(1, 2), default=2,
+                   help="rain evaporation: 1 Sundqvist / 2 Abel-Boutle")
+    p.add_argument("--ievapsnow", type=int, choices=(1, 2), default=1,
+                   help="snow sublimation: 1 Sundqvist / 2 PSD-based")
+    p.add_argument("--idepice", type=int, choices=(1, 2), default=1,
+                   help="ice deposition: 1 Rotstayn / 2 ice-PSD-based")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the compute loop to DIR "
                         "(the atlas_Trace / gprof analogue)")
@@ -91,9 +100,13 @@ def main(argv=None) -> int:
     params = Params.from_input(inp)
 
     backend = {"scan": "xla", "pallas": "pallas", "auto": "auto"}[args.kernel]
+    from .physics.scheme import SchemeConfig
+
+    cfg = SchemeConfig(args.iwarmrain, args.ievaprain, args.ievapsnow,
+                       args.idepice)
     driver = CloudscDriver(
         params, inp.ptsphy, dtype=dtype, nproma=args.nproma,
-        use_mesh=args.mesh, backend=backend,
+        use_mesh=args.mesh, backend=backend, scheme_config=cfg,
     )
     ngpblks = -(-args.ngptot // args.nproma)
     ndev = driver.mesh.devices.size if driver.mesh is not None else 1

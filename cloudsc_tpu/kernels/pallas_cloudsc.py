@@ -290,8 +290,8 @@ def _kernel(c, nlev, ktop, packed, *refs):
 
 
 def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
-           packed=False):
-    c = scheme.derived_consts(params, ptsphy, dtype)
+           packed=False, config=None):
+    c = scheme.derived_consts(params, ptsphy, dtype, config)
     ktop = c.NCLDTOP - 1
     SB = sublanes
     ni = nblk // SB
@@ -428,8 +428,8 @@ def _shaper(fields: dict, sublanes: int):
 
 def cloudsc_pallas(fields: dict, params, ptsphy: float,
                    sublanes: int = 32, interpret: bool = False,
-                   packed=False, ncol_packed: int | None = None
-                   ) -> CloudscOutputs:
+                   packed=False, ncol_packed: int | None = None,
+                   config=None) -> CloudscOutputs:
     """Run the fused kernel; same contract as physics.cloudsc (jit-able).
 
     Columns are padded (edge-replicated so padded lanes stay finite) to a
@@ -456,7 +456,7 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
             ncol = target
         args = [p["pack"], p["nxt"], p["paph"], p["paph"], p["col"]]
         call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
-                      packed=True)
+                      packed=True, config=config)
         res = call(*args)
         return _assemble(res, nblk, ncol, target)
 
@@ -477,7 +477,8 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
         paph[nlev],
     ]
 
-    call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret)
+    call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
+                  config=config)
     res = call(*args)
     return _assemble(res, nblk, ncol, target)
 

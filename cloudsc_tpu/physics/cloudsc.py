@@ -80,14 +80,15 @@ def make_inputs(inp, dtype=jnp.float64) -> dict:
     }
 
 
-def cloudsc(fields: dict, params, ptsphy: float) -> CloudscOutputs:
+def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
     """One CLOUDSC step over all columns. Jit with params/ptsphy baked in, e.g.
-    `jax.jit(lambda f: cloudsc(f, params, ptsphy))`.
+    `jax.jit(lambda f: cloudsc(f, params, ptsphy))`. `config` selects the
+    scheme versions (scheme.SchemeConfig; reference defaults when None).
     """
     pt = fields["pt"]
     dtype = pt.dtype
     nlev, ncol = pt.shape
-    c = scheme.derived_consts(params, ptsphy, dtype)
+    c = scheme.derived_consts(params, ptsphy, dtype, config)
     ktop = c.NCLDTOP - 1           # 0-based first scan level
     zqtmst = c.zqtmst
 

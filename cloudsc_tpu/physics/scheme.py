@@ -94,7 +94,22 @@ def schain(terms):
     return acc
 
 
-def derived_consts(params, ptsphy: float, dtype) -> SimpleNamespace:
+class SchemeConfig(SimpleNamespace):
+    """Scheme-version switches (ref: cloudsc.F90:562-580). The reference
+    hardcodes (2, 2, 1, 1); the alternates are implemented and selectable:
+      iwarmrain: 1 Sundqvist-1989 | 2 Khairoutdinov-Kogan-2000
+      ievaprain: 1 Sundqvist      | 2 Abel-Boutle-2013
+      ievapsnow: 1 Sundqvist      | 2 PSD-based
+      idepice:   1 Rotstayn-2001  | 2 ice-PSD-based
+    """
+
+    def __init__(self, iwarmrain=2, ievaprain=2, ievapsnow=1, idepice=1):
+        super().__init__(iwarmrain=int(iwarmrain), ievaprain=int(ievaprain),
+                         ievapsnow=int(ievapsnow), idepice=int(idepice))
+
+
+def derived_consts(params, ptsphy: float, dtype,
+                   config: SchemeConfig | None = None) -> SimpleNamespace:
     """Scalar constants shared by every section (the ASSOCIATE block +
     derived values, ref: cloudsc.F90:503-545, 585-591). Everything is a plain
     Python float/int/bool — an XLA compile-time constant (the TPU analogue of
@@ -115,9 +130,9 @@ def derived_consts(params, ptsphy: float, dtype) -> SimpleNamespace:
     c.LAERICEAUTO = bool(e.laericeauto)
     c.LAERLIQAUTOLSP = bool(e.laerliqautolsp)
     c.LAERLIQCOLL = bool(e.laerliqcoll)
-    # scheme-version switches (ref: cloudsc.F90:562-580); only the default
-    # configuration (2/2/1/1) is wired — the alternates raise for now.
-    c.IWARMRAIN, c.IEVAPRAIN, c.IEVAPSNOW, c.IDEPICE = 2, 2, 1, 1
+    cfg = config or SchemeConfig()
+    c.IWARMRAIN, c.IEVAPRAIN = cfg.iwarmrain, cfg.ievaprain
+    c.IEVAPSNOW, c.IDEPICE = cfg.ievapsnow, cfg.idepice
     c.zqtmst = 1.0 / c.ptsphy
     c.zrdcp = c.RD / c.RCPD
     c.zrg_r = 1.0 / c.RG
@@ -514,7 +529,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         solqa[IV][m] = sadd(solqa[IV][m], -amt)
         zqxfg[m] = zqxfg[m] + amt
 
-    # ---- 3.7 ice deposition, Rotstayn 2001 (ref: 1519-1601) ----------
+    # ---- 3.7 ice deposition -------------------------------------------
+    # cloud-top distance carry, shared by both schemes (ref: 1529-1533)
     reset_top = (x["za_prev"] < e.rcldtopcf) & (za >= e.rcldtopcf)
     zcldtopdist = jnp.where(
         reset_top, 0.0, carry["zcldtopdist"] + zdp / (zrho * RG)
@@ -525,26 +541,49 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zicenuclei = 1000.0 * jnp.exp(
         12.96 * (zvpliq - zvpice) / zvpliq - 0.639
     )
-    zadd = RLSTT * (RLSTT / (RV * ztp1) - 1.0) / (2.4e-2 * ztp1)
-    zbdd = RV * ztp1 * pap / (2.21 * zvpice)
-    zcvds = (
-        7.8
-        * (zicenuclei / zrho) ** 0.666
-        * (zvpliq - zvpice)
-        / (8.87 * (zadd + zbdd) * zvpice)
-    )
-    zice0 = jnp.maximum(zicecld, zicenuclei * e.riceinit / zrho)
-    zinew_b = 0.666 * zcvds * ptsphy + zice0**0.666
-    zinew = zinew_b * jnp.sqrt(zinew_b)          # == zinew_b**1.5
-    zdepos = jnp.maximum(za * (zinew - zice0), 0.0)
-    zdepos = jnp.minimum(zdepos, zqxfg[IL])
     zinfactor = jnp.minimum(zicenuclei / 15000.0, 1.0)
-    zdepos = zdepos * jnp.minimum(
+    ztopred = jnp.minimum(
         zinfactor
         + (1.0 - zinfactor)
         * (e.rdepliqrefrate + zcldtopdist / e.rdepliqrefdepth),
         1.0,
     )
+    if c.IDEPICE == 1:  # Rotstayn 2001 monodisperse (ref: 1519-1601)
+        zadd = RLSTT * (RLSTT / (RV * ztp1) - 1.0) / (2.4e-2 * ztp1)
+        zbdd = RV * ztp1 * pap / (2.21 * zvpice)
+        zcvds = (
+            7.8
+            * (zicenuclei / zrho) ** 0.666
+            * (zvpliq - zvpice)
+            / (8.87 * (zadd + zbdd) * zvpice)
+        )
+        zice0 = jnp.maximum(zicecld, zicenuclei * e.riceinit / zrho)
+        zinew_b = 0.666 * zcvds * ptsphy + zice0**0.666
+        zinew = zinew_b * jnp.sqrt(zinew_b)          # == zinew_b**1.5
+        zdepos = jnp.maximum(za * (zinew - zice0), 0.0)
+    else:  # IDEPICE == 2: ice-PSD deposition (ref: 1608-1689)
+        zice0 = jnp.maximum(zicecld, zicenuclei * e.riceinit / zrho)
+        zaplusb = (
+            e.rcl_apb1 * zvpice - e.rcl_apb2 * zvpice * ztp1
+            + pap * e.rcl_apb3 * (ztp1 * ztp1 * ztp1)
+        )
+        zcorrfac = jnp.sqrt(1.0 / zrho)
+        ztq = ztp1 / 273.0
+        zcorrfac2 = ztq * jnp.sqrt(ztq) * (393.0 / (ztp1 + 120.0))
+        zpr02 = zrho * zice0 * e.rcl_const1i  # ZTCG = ZFACX1I = 1
+        zterm1 = (
+            (zvpliq - zvpice) * ztp1**2 * zvpice * zcorrfac2
+            * e.rcl_const2i / (zrho * zaplusb * zvpice)
+        )
+        zterm2 = (
+            0.65 * e.rcl_const6i * zpr02 ** e.rcl_const4i
+            + e.rcl_const3i * jnp.sqrt(zcorrfac) * jnp.sqrt(zrho)
+            * zpr02 ** e.rcl_const5i / jnp.sqrt(zcorrfac2)
+        )
+        zdepos = jnp.maximum(za * zterm1 * zterm2 * ptsphy, 0.0)
+    zdepos = jnp.minimum(zdepos, zqxfg[IL])
+    # cloud-top reduction for turbulence/nucleation/fallout (ref: 1581-1586)
+    zdepos = zdepos * ztopred
     amt = madd(dep_m, zdepos)
     solqa[II][IL] = sadd(solqa[II][IL], amt)
     solqa[IL][II] = sadd(solqa[IL][II], -amt)
@@ -603,7 +642,33 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
 
     # 4.3b warm-rain autoconversion/accretion (ref: 1819-1927)
     liq_m = zliqcld > ZEPSEC
-    if c.IWARMRAIN == 2:  # Khairoutdinov and Kogan (2000)
+    if c.IWARMRAIN == 1:  # Sundqvist (1989), implicit (ref: 1826-1874)
+        zzco = e.rkconv * ptsphy
+        if c.LAERLIQAUTOLSP:
+            zlcrit = x["plcrit_aer"]
+            zzco = zzco * (e.rccn / x["pccn"]) ** 0.333
+        else:
+            zlcrit = jnp.where(land, e.rclcrit_land, e.rclcrit_sea)
+        # collection enhancement from precipitation flux through the cloud
+        zprecip = (pfplsx_row[IS] + pfplsx_row[IR]) / jnp.maximum(
+            ZEPSEC, zcovptot
+        )
+        zcfpr = 1.0 + e.rprc1 * jnp.sqrt(jnp.maximum(zprecip, 0.0))
+        if c.LAERLIQCOLL:
+            zcfpr = zcfpr * (e.rccn / x["pccn"]) ** 0.333
+        zzco = zzco * zcfpr
+        zlcrit = zlcrit / jnp.maximum(zcfpr, ZEPSEC)
+        # exp guarded against overflow for large arguments (ref: 1864-1868)
+        zarg = zliqcld / zlcrit
+        zrainaut = jnp.where(
+            zarg < 20.0,
+            zzco * (1.0 - jnp.exp(-(zarg * zarg))),
+            zzco,
+        )
+        cold = ztp1 <= RTT
+        solqb[IS][IL] = sadd(solqb[IS][IL], madd(liq_m & cold, zrainaut))
+        solqb[IR][IL] = sadd(solqb[IR][IL], madd(liq_m & ~cold, zrainaut))
+    elif c.IWARMRAIN == 2:  # Khairoutdinov and Kogan (2000)
         # the CCN-number power has a compile-time base on land and sea:
         # fold zconst**RCL_KKBauN into the land/sea select
         zconst_pow = jnp.where(
@@ -638,7 +703,7 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainaut))
             solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainacc))
     else:
-        raise NotImplementedError("IWARMRAIN=1 (Sundqvist) not wired")
+        raise NotImplementedError(f"IWARMRAIN={c.IWARMRAIN} unknown")
 
     # riming: snow collects cloud liquid (ref: 1935-1980)
     rime_m = (ztp1 <= RTT) & (zliqcld > ZEPSEC)
@@ -707,8 +772,51 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     solqa[II][IL] = sadd(solqa[II][IL], amt)
     solqa[IL][II] = sadd(solqa[IL][II], -amt)
 
-    # 4.5 rain evaporation, Abel and Boutle 2013 (ref: 2192-2279)
-    if c.IEVAPRAIN == 2:
+    # 4.5 rain evaporation (ref: 2114-2281)
+    if c.IEVAPRAIN == 1:  # Sundqvist scheme (ref: 2121-2184)
+        zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
+            ZEPSEC, 1.0 - za
+        )
+        zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
+        zqe = (zqx[IV] - za * zqsliq) / jnp.maximum(ZEPSEC, 1.0 - za)
+        zqe = jnp.maximum(0.0, jnp.minimum(zqe, zqsliq))
+        llo1 = (
+            (zcovpclr > ZEPSEC)
+            & (zqxfg[IR] > ZEPSEC)
+            & (zqe < zzrh * zqsliq)
+        )
+        denom = zcovptot * zdtgdp
+        denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), zepsilon)
+        denom = jnp.where(denom == 0.0, zepsilon, denom)
+        zpreclr = zqxfg[IR] * zcovpclr / denom
+        zbeta1 = (
+            jnp.sqrt(pap / paph_surf)
+            / e.rvrfactor
+            * zpreclr
+            / jnp.maximum(zcovpclr, ZEPSEC)
+        )
+        zbeta = RG * e.rpecons * 0.5 * jnp.maximum(zbeta1, 0.0) ** 0.5777
+        zdenom = 1.0 + zbeta * ptsphy * zcorqsliq
+        zdpr = zcovpclr * zbeta * (zqsliq - zqe) / zdenom * zdp * zrg_r
+        zdpevap = zdpr * zdtgdp
+        zevap = jnp.minimum(zdpevap, zqxfg[IR])
+        amt = madd(llo1, zevap)
+        solqa[IV][IR] = sadd(solqa[IV][IR], amt)
+        solqa[IR][IV] = sadd(solqa[IR][IV], -amt)
+        zcovptot = jnp.where(
+            llo1,
+            jnp.maximum(
+                e.rcovpmin,
+                zcovptot
+                - jnp.maximum(
+                    0.0,
+                    (zcovptot - za) * zevap / jnp.where(llo1, zqxfg[IR], 1.0),
+                ),
+            ),
+            zcovptot,
+        )
+        zqxfg[IR] = zqxfg[IR] - amt
+    elif c.IEVAPRAIN == 2:
         zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
             ZEPSEC, 1.0 - za
         )
@@ -765,7 +873,7 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         )
         zqxfg[IR] = zqxfg[IR] - amt
     else:
-        raise NotImplementedError("IEVAPRAIN=1 (Sundqvist) not wired")
+        raise NotImplementedError(f"IEVAPRAIN={c.IEVAPRAIN} unknown")
 
     # 4.5 snow sublimation, Sundqvist (ref: 2289-2347)
     if c.IEVAPSNOW == 1:
@@ -811,8 +919,60 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             zcovptot,
         )
         zqxfg[IS] = zqxfg[IS] - amt
+    elif c.IEVAPSNOW == 2:  # PSD-based sublimation (ref: 2349-2419)
+        zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
+            ZEPSEC, 1.0 - za
+        )
+        zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
+        zqe = (zqx[IV] - za * zqsice) / jnp.maximum(ZEPSEC, 1.0 - za)
+        zqe = jnp.maximum(0.0, jnp.minimum(zqe, zqsice))
+        llo1 = (
+            (zcovpclr > ZEPSEC)
+            & (zqx[IS] > ZEPSEC)
+            & (zqe < zzrh * zqsice)
+        )
+        zpreclr = zqx[IS] / jnp.where(llo1, jnp.maximum(zcovptot, ZEPSEC), 1.0)
+        zvpice2 = x["zfoeeice"] * RV / RD
+        # ZTCG = ZFACX1S = 1 (ref: 2382-2387)
+        zaplusb = (
+            e.rcl_apb1 * zvpice2 - e.rcl_apb2 * zvpice2 * ztp1
+            + pap * e.rcl_apb3 * (ztp1 * ztp1 * ztp1)
+        )
+        zcorrfac = jnp.sqrt(1.0 / zrho)
+        ztq = ztp1 / 273.0
+        zcorrfac2 = ztq * jnp.sqrt(ztq) * (393.0 / (ztp1 + 120.0))
+        zpr02 = zrho * zpreclr * e.rcl_const1s
+        zterm1 = (
+            (zqsice - zqe) * ztp1**2 * zvpice2 * zcorrfac2
+            * e.rcl_const2s / (zrho * zaplusb * zqsice)
+        )
+        zterm2 = (
+            0.65 * e.rcl_const6s * zpr02 ** e.rcl_const4s
+            + e.rcl_const3s * jnp.sqrt(zcorrfac) * jnp.sqrt(zrho)
+            * zpr02 ** e.rcl_const5s / jnp.sqrt(zcorrfac2)
+        )
+        zdpevap = jnp.maximum(zcovpclr * zterm1 * zterm2 * ptsphy, 0.0)
+        zevaplimice = jnp.maximum((zqsice - zqx[IV]) / zcorqsice, 0.0)
+        zevap = jnp.minimum(zdpevap, zevaplimice)
+        zevap = jnp.minimum(zevap, zqx[IS])
+        amt = madd(llo1, zevap)
+        solqa[IV][IS] = sadd(solqa[IV][IS], amt)
+        solqa[IS][IV] = sadd(solqa[IS][IV], -amt)
+        zcovptot = jnp.where(
+            llo1,
+            jnp.maximum(
+                e.rcovpmin,
+                zcovptot
+                - jnp.maximum(
+                    0.0,
+                    (zcovptot - za) * zevap / jnp.where(llo1, zqx[IS], 1.0),
+                ),
+            ),
+            zcovptot,
+        )
+        zqxfg[IS] = zqxfg[IS] - amt
     else:
-        raise NotImplementedError("IEVAPSNOW=2 not wired")
+        raise NotImplementedError(f"IEVAPSNOW={c.IEVAPSNOW} unknown")
 
     # 4.6 evaporate small precipitation amounts (ref: 2426-2435)
     for m in (IR, IS):

@@ -65,11 +65,13 @@ def sharded_cloudsc(params, ptsphy: float, mesh: Mesh, backend: str = "xla",
     """
     from ..physics import cloudsc
 
+    config = kw.pop("config", None)
     if backend == "pallas":
         from ..kernels import cloudsc_pallas
-        compute = lambda f: cloudsc_pallas(f, params, ptsphy, **kw)
+        compute = lambda f: cloudsc_pallas(f, params, ptsphy, config=config,
+                                           **kw)
     else:
-        compute = lambda f: cloudsc(f, params, ptsphy)
+        compute = lambda f: cloudsc(f, params, ptsphy, config=config)
 
     def fn(fields):
         out = compute(fields)

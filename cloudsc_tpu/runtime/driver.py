@@ -38,11 +38,12 @@ def sync(out):
 class CloudscDriver:
     def __init__(self, params, ptsphy: float, dtype=None, nproma: int = 128,
                  mesh=None, use_mesh: bool = False, backend: str = "auto",
-                 sublanes: int = 32):
+                 sublanes: int = 32, scheme_config=None):
         import jax.numpy as jnp
 
         self.params = params
         self.ptsphy = ptsphy
+        self.scheme_config = scheme_config
         self.dtype = dtype or jnp.float32
         self.nproma = max(int(nproma), 1)
         self.mesh = mesh if mesh is not None else (column_mesh() if use_mesh else None)
@@ -63,6 +64,7 @@ class CloudscDriver:
             and os.environ.get("CLOUDSC_PACKED_STORAGE", "1") != "0"
         )
         kw = dict(sublanes=sublanes) if self.backend == "pallas" else {}
+        kw["config"] = scheme_config
         if self.mesh is not None:
             self._fn = sharded_cloudsc(params, ptsphy, self.mesh,
                                        backend=self.backend, **kw)
@@ -72,10 +74,13 @@ class CloudscDriver:
         elif self.backend == "pallas":
             from ..kernels import cloudsc_pallas
             self._fn = jax.jit(
-                lambda f: cloudsc_pallas(f, params, ptsphy, sublanes=sublanes)
+                lambda f: cloudsc_pallas(f, params, ptsphy, sublanes=sublanes,
+                                         config=scheme_config)
             )
         else:
-            self._fn = jax.jit(lambda f: cloudsc(f, params, ptsphy))
+            self._fn = jax.jit(
+                lambda f: cloudsc(f, params, ptsphy, config=scheme_config)
+            )
 
     def fn_for(self, ncol: int):
         """The jitted step for payloads prepared by prepare()."""
@@ -88,7 +93,7 @@ class CloudscDriver:
             fn = jax.jit(
                 lambda p: cloudsc_pallas(
                     None, self.params, self.ptsphy, sublanes=self.sublanes,
-                    packed=p, ncol_packed=ncol,
+                    packed=p, ncol_packed=ncol, config=self.scheme_config,
                 )
             )
             self._fn_cache[ncol] = fn
