@@ -77,14 +77,22 @@ _IN_STREAMED = [
 
 
 def pallas_supported(params) -> bool:
-    """The kernel covers the default scheme configuration (all aerosol
-    couplings off, as in the reference snapshot); anything else falls back to
-    the XLA path."""
-    e = params.ydecldp
-    return not (
-        bool(e.laericesed) or bool(e.laericeauto)
-        or bool(e.laerliqautolsp) or bool(e.laerliqcoll)
-    )
+    """Every scheme configuration (incl. the aerosol couplings, which add
+    extra streamed fields) is covered by the kernel."""
+    return True
+
+
+def _aer_rows(c) -> list[str]:
+    """Extra per-level fields required by the enabled aerosol couplings
+    (ref: cloudsc.F90 LAERICESED/LAERICEAUTO/LAERLIQAUTOLSP/LAERLIQCOLL)."""
+    rows = []
+    if c.LAERICESED:
+        rows.append("pre_ice")
+    if c.LAERICEAUTO:
+        rows += ["picrit_aer", "pnice"]
+    if (c.LAERLIQAUTOLSP or c.LAERLIQCOLL) and c.IWARMRAIN == 1:
+        rows += ["plcrit_aer", "pccn"]
+    return rows
 
 
 # row order inside the packed input array (packed-storage mode — the
@@ -97,9 +105,10 @@ _PACK_IDX = {name: i for i, name in enumerate(_PACK_ROWS)}
 _NEXT_ROWS = ["pmfu", "pmfd", "plu"]
 
 
-def _unpack_inputs(ins, packed):
+def _unpack_inputs(ins, packed, aer):
     """-> (r, (pmfu_n, pmfd_n, plu_n), (paph_k, paph_k1), (plsm, ldcum, ktype,
-    paph_surf)) as (SB, 128) arrays, from either input layout."""
+    paph_surf)) as (SB, 128) arrays, from either input layout. `aer` lists the
+    extra per-level aerosol fields appended to the layout."""
     if packed:
         pack, nxt, paph_k, paph_k1, col = ins
         r = {name: pack[0, _PACK_IDX[name]] for name in _IN_STREAMED}
@@ -107,6 +116,8 @@ def _unpack_inputs(ins, packed):
         r["tendency_tmp_cld"] = [
             pack[0, _PACK_IDX[f"tcld{m}"]] for m in range(4)
         ]
+        for j, name in enumerate(aer):
+            r[name] = pack[0, len(_PACK_ROWS) + j]
         nxts = tuple(nxt[0, j] for j in range(3))
         cols = (col[0], col[1] > 0.5, col[2].astype(jnp.int32), col[3])
         return r, nxts, (paph_k[0], paph_k1[0]), cols
@@ -118,6 +129,8 @@ def _unpack_inputs(ins, packed):
     r["tendency_tmp_cld"] = [r_tcld[m, 0] for m in range(4)]
     paph_k, paph_k1 = next(it), next(it)
     r_plsm, r_ldcum, r_ktype, r_paph_surf = next(it), next(it), next(it), next(it)
+    for name in aer:
+        r[name] = next(it)[0]
     return (
         r,
         (r_pmfu_n[0], r_pmfd_n[0], r_plu_n[0]),
@@ -137,7 +150,8 @@ _OH = {name: i for i, name in enumerate(_OHALF_ROWS)}
 
 
 def _kernel(c, nlev, ktop, packed, *refs):
-    nin = 5 if packed else len(_IN_STREAMED) + 3 + 2 + 2 + 4
+    aer = _aer_rows(c)
+    nin = 5 if packed else len(_IN_STREAMED) + 3 + 2 + 2 + 4 + len(aer)
     ins, outs, scr = refs[:nin], refs[nin:-1], refs[-1]
 
     # outputs are always packed: one per-level buffer, one half-level flux
@@ -179,7 +193,7 @@ def _kernel(c, nlev, ktop, packed, *refs):
 
     @pl.when(k < nlev)
     def _level():
-        raw, nxts, paphs, cols = _unpack_inputs(ins, packed)
+        raw, nxts, paphs, cols = _unpack_inputs(ins, packed, aer)
         pmfu_n, pmfd_n, plu_n = nxts
         paph_k, paph_k1 = paphs
         plsm, ldcum_b, ktype_i, paph_surf = cols
@@ -211,6 +225,8 @@ def _kernel(c, nlev, ktop, packed, *refs):
             not_first=k > ktop,
             not_last=k < nlev - 1,
         )
+        for name in aer:
+            x[name] = raw[name]
         carry = dict(
             zanewm1=scr[_S_ZANEWM1],
             zqxnm1=[scr[_S_ZQXNM1 + m] for m in range(NCLV)],
@@ -329,11 +345,12 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
             (SB, LANES), lambda i, k: (i, 0), memory_space=pltpu.VMEM,
         )
 
+    aer = _aer_rows(c)
     if packed:
         # packed storage: ONE streamed block carries every per-level field
         # (single DMA per step), one 3-row block for the k+1 reads, one
         # resident per-column block (ref: README.md:324-330 packed buffers)
-        nrows = len(_PACK_ROWS)
+        nrows = len(_PACK_ROWS) + len(aer)
         in_specs = [
             pl.BlockSpec((1, nrows, SB, LANES),
                          lambda i, k: (lev(k), 0, i, 0),
@@ -352,6 +369,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
             + [spec_4d() for _ in range(2)]
             + [spec_half(0), spec_half(1)]
             + [spec_col() for _ in range(4)]
+            + [spec_streamed() for _ in aer]
         )
 
     f = jnp.dtype(dtype)
@@ -384,10 +402,12 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
     )
 
 
-def pack_inputs(fields: dict, sublanes: int = 32):
+def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
     """Build the packed-storage input pytree (pack, nxt, paph, col) +
     (nlev, ncol) — do this once outside the hot loop; cloudsc_pallas with
-    packed inputs then issues a single input DMA per grid step."""
+    packed inputs then issues a single input DMA per grid step. `params` and
+    `config` determine the extra aerosol rows (layout must match the kernel's
+    derived_consts flags)."""
     pt = fields["pt"]
     nlev, ncol = pt.shape
     shp, nblk, _ = _shaper(fields, sublanes)
@@ -395,6 +415,9 @@ def pack_inputs(fields: dict, sublanes: int = 32):
     rows = [fields[name] for name in _IN_STREAMED]
     rows += [fields["pclv"][m] for m in range(4)]
     rows += [fields["tendency_tmp_cld"][m] for m in range(4)]
+    if params is not None:
+        c = scheme.derived_consts(params, 1.0, dtype, config)
+        rows += [fields[name] for name in _aer_rows(c)]
     pack = shp(jnp.stack([r.astype(dtype) for r in rows], axis=1))
     nxt = shp(jnp.stack(
         [fields["pmfu"], fields["pmfd"], fields["plu"]], axis=1
@@ -439,13 +462,9 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
     CLOUDSC_PACKED_STORAGE analogue): True packs here; or pass the pytree from
     `pack_inputs` directly to skip per-call packing.
     """
-    if not pallas_supported(params):
-        raise NotImplementedError(
-            "aerosol couplings not wired in the Pallas kernel; use the XLA path"
-        )
     if packed is not False:
         if packed is True:
-            p, ncol = pack_inputs(fields, sublanes)
+            p, ncol = pack_inputs(fields, sublanes, params, config)
         else:
             p, ncol = packed, ncol_packed
         nlev = p["pack"].shape[0]
@@ -476,6 +495,8 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
         shp(fields["ktype"].astype(jnp.int32)),
         paph[nlev],
     ]
+    c_aer = scheme.derived_consts(params, ptsphy, dtype, config)
+    args += [shp(fields[name]) for name in _aer_rows(c_aer)]
 
     call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
                   config=config)

@@ -133,7 +133,8 @@ class CloudscDriver:
         if self.packed:
             from ..kernels.pallas_cloudsc import pack_inputs
 
-            packed, _ = pack_inputs(fields, self.sublanes)
+            packed, _ = pack_inputs(fields, self.sublanes, self.params,
+                                    self.scheme_config)
             return packed, ncol
         mult = self._pad_multiple()
         target = -(-ncol // mult) * mult

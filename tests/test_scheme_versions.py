@@ -83,3 +83,40 @@ def test_alternate_pallas_matches_scan(setup, cfg):
         b = np.asarray(getattr(out, name), dtype=np.float64)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
         assert err < 1e-5, f"{name}: {err:.2e} under {cfg}"
+
+
+def test_aerosol_couplings_pallas_matches_scan(setup):
+    """Synthetically enable the aerosol couplings (off in the snapshot) and
+    check scan-vs-Pallas agreement — exercises the extra streamed fields."""
+    import copy
+
+    import jax.numpy as jnp
+
+    inp, params, _, _ = setup
+    p2 = copy.deepcopy(params)
+    p2.ydecldp.laericesed = True
+    p2.ydecldp.laericeauto = True
+    p2.ydecldp.laerliqautolsp = True
+    p2.ydecldp.laerliqcoll = True
+    cfg = SchemeConfig(iwarmrain=1)  # the aerosol CCN branches live here
+
+    inp512 = load_input(INPUT_PATH, ngptot=512)
+    fields = dict(make_inputs(inp512, dtype=jnp.float32))
+    # the snapshot carries zero aerosol fields (the couplings are off in the
+    # reference config) — substitute physically plausible values
+    shape = fields["pt"].shape
+    fields["pccn"] = jnp.full(shape, 125.0, jnp.float32)      # CCN cm-3
+    fields["pnice"] = jnp.full(shape, 1.0e4, jnp.float32)     # IN m-3
+    fields["pre_ice"] = jnp.full(shape, 50.0e-6, jnp.float32)  # re [m]
+    fields["plcrit_aer"] = jnp.full(shape, 5.0e-4, jnp.float32)
+    fields["picrit_aer"] = jnp.full(shape, 2.0e-4, jnp.float32)
+    ref = jax.jit(lambda f: cloudsc(f, p2, inp512.ptsphy, config=cfg))(fields)
+    for name, arr in ref._asdict().items():
+        assert np.isfinite(np.asarray(arr)).all(), name
+    out = cloudsc_pallas(fields, p2, inp512.ptsphy, sublanes=4,
+                         interpret=True, config=cfg)
+    for name in ref._fields:
+        a = np.asarray(getattr(ref, name), dtype=np.float64)
+        b = np.asarray(getattr(out, name), dtype=np.float64)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 1e-5, f"{name}: {err:.2e}"
