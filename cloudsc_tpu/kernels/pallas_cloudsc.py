@@ -102,7 +102,8 @@ _PACK_ROWS = _IN_STREAMED + [f"pclv{m}" for m in range(4)] + [
     f"tcld{m}" for m in range(4)
 ]
 _PACK_IDX = {name: i for i, name in enumerate(_PACK_ROWS)}
-_NEXT_ROWS = ["pmfu", "pmfd", "plu"]
+# the k+1 lookahead block streams these three fields (ref: JK+1 reads)
+_NEXT_FIELDS = ("pmfu", "pmfd", "plu")
 
 
 def _unpack_inputs(ins, packed, aer):
