@@ -67,7 +67,9 @@ _S_RAININC_PREV = 29
 _S_SNOWINC_PREV = 30
 _S_LNEGR_PREV = 31
 _S_LNEGS_PREV = 32
-_NSCR = 33
+_S_PMFU_K = 33           # pmfu/pmfd at the CURRENT level, carried from the
+_S_PMFD_K = 34           # previous step's k+1 lookahead block (packed mode);
+_NSCR = 35               # zeros at k=0, harmless: only scan-masked consumers
 
 _IN_STREAMED = [
     "pt", "pq", "tendency_tmp_t", "tendency_tmp_q", "tendency_tmp_a",
@@ -97,10 +99,12 @@ def _aer_rows(c) -> list[str]:
 
 # row order inside the packed input array (packed-storage mode — the
 # CLOUDSC_PACKED_STORAGE / FIELD-API packed-buffer analogue,
-# ref: README.md:324-330, cloudsc_field_state_mod.F90)
-_PACK_ROWS = _IN_STREAMED + [f"pclv{m}" for m in range(4)] + [
-    f"tcld{m}" for m in range(4)
-]
+# ref: README.md:324-330, cloudsc_field_state_mod.F90). pmfu/pmfd/plu are NOT
+# packed: their k+1 values stream in the lookahead block and their k values
+# are carried in scratch from the previous step (plu is only read at k+1).
+_PACK_ROWS = [
+    f for f in _IN_STREAMED if f not in ("pmfu", "pmfd", "plu")
+] + [f"pclv{m}" for m in range(4)] + [f"tcld{m}" for m in range(4)]
 _PACK_IDX = {name: i for i, name in enumerate(_PACK_ROWS)}
 # the k+1 lookahead block streams these three fields (ref: JK+1 reads)
 _NEXT_FIELDS = ("pmfu", "pmfd", "plu")
@@ -112,7 +116,8 @@ def _unpack_inputs(ins, packed, aer):
     extra per-level aerosol fields appended to the layout."""
     if packed:
         pack, nxt, paph_k, paph_k1, col = ins
-        r = {name: pack[0, _PACK_IDX[name]] for name in _IN_STREAMED}
+        r = {name: pack[0, _PACK_IDX[name]] for name in _IN_STREAMED
+             if name in _PACK_IDX}
         r["pclv"] = [pack[0, _PACK_IDX[f"pclv{m}"]] for m in range(4)]
         r["tendency_tmp_cld"] = [
             pack[0, _PACK_IDX[f"tcld{m}"]] for m in range(4)
@@ -198,6 +203,10 @@ def _kernel(c, nlev, ktop, packed, *refs):
         pmfu_n, pmfd_n, plu_n = nxts
         paph_k, paph_k1 = paphs
         plsm, ldcum_b, ktype_i, paph_surf = cols
+        if packed:
+            # current-level mass fluxes carried from the previous lookahead
+            raw["pmfu"] = scr[_S_PMFU_K]
+            raw["pmfd"] = scr[_S_PMFD_K]
 
         ini = scheme.level_init(raw, c)
         is_scan = k >= ktop
@@ -275,6 +284,9 @@ def _kernel(c, nlev, ktop, packed, *refs):
         scr[_S_ZTP1_PREV] = ini["ztp1"]
         scr[_S_ZA_PREV] = ini["za"]
         scr[_S_PAP_PREV] = raw["pap"]
+        if packed:
+            scr[_S_PMFU_K] = pmfu_n
+            scr[_S_PMFD_K] = pmfd_n
 
         # section-8 increments for this level (ref: 2798-2857)
         zgdph_r = -c.zrg_r * (paph_k1 - paph_k) * zqtmst
@@ -413,9 +425,14 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
     nlev, ncol = pt.shape
     shp, nblk, _ = _shaper(fields, sublanes)
     dtype = pt.dtype
-    rows = [fields[name] for name in _IN_STREAMED]
-    rows += [fields["pclv"][m] for m in range(4)]
-    rows += [fields["tendency_tmp_cld"][m] for m in range(4)]
+    rows = []
+    for name in _PACK_ROWS:
+        if name.startswith("pclv"):
+            rows.append(fields["pclv"][int(name[4:])])
+        elif name.startswith("tcld"):
+            rows.append(fields["tendency_tmp_cld"][int(name[4:])])
+        else:
+            rows.append(fields[name])
     if params is not None:
         c = scheme.derived_consts(params, 1.0, dtype, config)
         rows += [fields[name] for name in _aer_rows(c)]
