@@ -1022,47 +1022,48 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     # factors to an entry: ratio(row species, at its round) when the entry is
     # negative, and ratio(column species, at its round) when the MIRRORED
     # entry is negative (ref: 2566-2576). Since every species is selected
-    # exactly once, each round's sink for the selected species r needs the
-    # original row r with at most ONE prior factor (the column update from an
-    # earlier round) applied — exactly reproduced below with ratio_fin
-    # initialised to 1 — and the factors are applied per entry once at the
-    # end. Signs never change under the positive scalings, so the negativity
-    # masks come from the original matrix.
+    # exactly once, the round-r sink for species m needs the original row m
+    # with at most ONE prior factor applied — the column update from species n
+    # with rank[n] < rank[m] and a negative mirrored entry. With ratio_fin
+    # initialised to 1 and finalised rank-by-rank, a dense per-species sink
+    # recompute each round reproduces the sequential values exactly (same
+    # per-term products, same left-to-right summation); the factors are then
+    # applied per entry once at the end. Signs never change under the
+    # positive scalings, so all masks come from the original matrix.
     neg0 = [
         [None if solqa[m][n] is None else solqa[m][n] < 0.0
          for n in range(NCLV)]
         for m in range(NCLV)
     ]
+    # prec[m][n]: entry (m, n) receives species-n's column factor BEFORE
+    # species-m's own round
+    prec = [
+        [
+            None if (n == m or neg0[n][m] is None)   # rank[m] < rank[m] never
+            else (neg0[n][m] & (rank[n] < rank[m]))
+            for n in range(NCLV)
+        ]
+        for m in range(NCLV)
+    ]
     one = jnp.ones_like(ztp1)
     ratio_fin = [one for _ in range(NCLV)]
+    zmaxe = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
     for round_i in range(NCLV):
-        sel = [rank[m] == round_i for m in range(NCLV)]
-        sink = None
-        for n in range(NCLV):
-            # row0[n] = solqa0[r][n]; fac = ratio_fin[n] where neg0[n][r]
-            row0_n = schain([
-                madd(sel[m], solqa[m][n])
-                for m in range(NCLV)
-                if solqa[m][n] is not None
-            ])
-            if row0_n is None:
-                continue
-            negT = None
-            for j in range(NCLV):
-                if neg0[n][j] is None:
-                    continue
-                t = sel[j] & neg0[n][j]
-                negT = t if negT is None else (negT | t)
-            if negT is not None:
-                fac = jnp.where(negT, ratio_fin[n], 1.0)
-                row0_n = row0_n * fac
-            sink = sadd(sink, -row0_n)
-        zmm = jnp.maximum(
-            chain([madd(sel[m], zqx[m]) for m in range(NCLV)]), ZEPSEC
-        )
-        ratio_r = zmm / jnp.maximum(sink, zmm)
+        new_ratio = []
         for m in range(NCLV):
-            ratio_fin[m] = jnp.where(sel[m], ratio_r, ratio_fin[m])
+            sink = None
+            for n in range(NCLV):
+                if solqa[m][n] is None:
+                    continue
+                v = solqa[m][n]
+                if prec[m][n] is not None:
+                    v = v * jnp.where(prec[m][n], ratio_fin[n], 1.0)
+                sink = sadd(sink, -v)
+            new_ratio.append(zmaxe[m] / jnp.maximum(sink, zmaxe[m]))
+        for m in range(NCLV):
+            ratio_fin[m] = jnp.where(
+                rank[m] == round_i, new_ratio[m], ratio_fin[m]
+            )
     for m in range(NCLV):
         for n in range(NCLV):
             if solqa[m][n] is None:
