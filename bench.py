@@ -65,7 +65,13 @@ def main() -> int:
     from cloudsc_tpu.params import Params
     from cloudsc_tpu.runtime.driver import CloudscDriver
 
-    ngptot = int(os.environ.get("CLOUDSC_BENCH_NGPTOT", 163840 if on_tpu else 8192))
+    # CLOUDSC_BENCH_MESH=1 shards columns over all visible devices (the
+    # weak-scaling measurement mode for pods; per-chip cols/s is reported)
+    use_mesh = os.environ.get("CLOUDSC_BENCH_MESH", "0") == "1"
+    ndev = len(jax.devices()) if use_mesh else 1
+    ngptot = int(os.environ.get(
+        "CLOUDSC_BENCH_NGPTOT", (163840 if on_tpu else 8192) * ndev
+    ))
     iters = int(os.environ.get("CLOUDSC_BENCH_ITERS", 10 if on_tpu else 2))
     input_path = os.environ.get("CLOUDSC_INPUT", "/root/reference/data")
     backend = os.environ.get("CLOUDSC_BENCH_BACKEND", "auto")
@@ -73,10 +79,15 @@ def main() -> int:
     inp = load_input(input_path, ngptot=ngptot)
     params = Params.from_input(inp)
     driver = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32, nproma=128,
-                           backend=backend)
+                           backend=backend, use_mesh=use_mesh)
     fields, ncol = driver.prepare(inp)
     call = driver.fn_for(ncol)
-    fields = jax.device_put(fields)
+    if driver.mesh is not None:
+        from cloudsc_tpu.runtime.dist import shard_fields
+
+        fields = shard_fields(fields, driver.mesh)
+    else:
+        fields = jax.device_put(fields)
     jax.block_until_ready(fields)
 
     # zero-scaled data dependency keeps every iteration live, value-exact
@@ -112,12 +123,13 @@ def main() -> int:
         best = min(best, time.perf_counter() - t0)
 
     per_iter = max(best - floor, 1e-9) / iters
-    cols_per_s = ngptot / per_iter
+    cols_per_s = ngptot / per_iter / ndev
+    mesh_note = f", {ndev}-device mesh" if use_mesh else ""
     print(
         json.dumps(
             {
                 "metric": f"columns/s per chip (160K cols x 137 lev, fp32, "
-                          f"{driver.backend} backend)"
+                          f"{driver.backend} backend{mesh_note})"
                 if on_tpu
                 else f"columns/s per chip (CPU fallback, {driver.backend})",
                 "value": round(cols_per_s, 1),
