@@ -83,6 +83,53 @@ def sharded_cloudsc(params, ptsphy: float, mesh: Mesh, backend: str = "xla",
     return jax.jit(fn)
 
 
+def shard_packed(packed: dict, mesh: Mesh) -> dict:
+    """Place a packed-storage pytree on the mesh, sharded over the
+    column-block axis (axis -2 of every buffer)."""
+    out = {}
+    for k, v in packed.items():
+        spec = P(*([None] * (v.ndim - 2) + [COLUMN_AXIS, None]))
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def sharded_cloudsc_packed(params, ptsphy: float, mesh: Mesh,
+                           sublanes: int = 32, config=None,
+                           interpret: bool = False):
+    """The fused Pallas kernel over a column mesh via shard_map.
+
+    pallas_call is a custom call XLA cannot partition, so the packed fast
+    path scales with shard_map: each device runs the kernel on its column
+    shard; there are no collectives (the reference's compute path has no MPI
+    either). Inputs come from `pack_inputs` + `shard_packed`."""
+    from ..kernels.pallas_cloudsc import cloudsc_pallas
+    from jax.experimental.shard_map import shard_map
+
+    def in_spec(v):
+        return P(*([None] * (v.ndim - 2) + [COLUMN_AXIS, None]))
+
+    def fn(packed):
+        in_specs = ({k: in_spec(v) for k, v in packed.items()},)
+
+        def local(p):
+            return cloudsc_pallas(
+                None, params, ptsphy, sublanes=sublanes, packed=p,
+                interpret=interpret, config=config,
+            )
+
+        # probe output structure to build out_specs (columns = trailing axis)
+        shapes = jax.eval_shape(local, packed)
+        out_specs = jax.tree.map(
+            lambda s: P(*([None] * (s.ndim - 1) + [COLUMN_AXIS])), shapes
+        )
+        return shard_map(
+            local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )(packed)
+
+    return jax.jit(fn)
+
+
 # -- validation-norm reductions (the CLOUDSC_MPI_REDUCE_* analogues) -----------
 
 def error_norms(field, ref, axis_name: str | None = None):

@@ -57,15 +57,20 @@ class CloudscDriver:
                 "ref: parkind1.F90:40-44)"
             )
         # packed storage (the CLOUDSC_PACKED_STORAGE analogue, on by default
-        # for the single-device Pallas path: one input DMA per grid step)
+        # for the Pallas path: one input DMA per grid step)
         self.packed = (
             self.backend == "pallas"
-            and self.mesh is None
             and os.environ.get("CLOUDSC_PACKED_STORAGE", "1") != "0"
         )
         kw = dict(sublanes=sublanes) if self.backend == "pallas" else {}
         kw["config"] = scheme_config
-        if self.mesh is not None:
+        if self.mesh is not None and self.packed:
+            from .dist import sharded_cloudsc_packed
+
+            self._fn = sharded_cloudsc_packed(params, ptsphy, self.mesh,
+                                              sublanes=sublanes,
+                                              config=scheme_config)
+        elif self.mesh is not None:
             self._fn = sharded_cloudsc(params, ptsphy, self.mesh,
                                        backend=self.backend, **kw)
         elif self.packed:
@@ -84,7 +89,7 @@ class CloudscDriver:
 
     def fn_for(self, ncol: int):
         """The jitted step for payloads prepared by prepare()."""
-        if not self.packed:
+        if not self.packed or self.mesh is not None:
             return self._fn
         fn = self._fn_cache.get(ncol)
         if fn is None:
@@ -133,7 +138,11 @@ class CloudscDriver:
         if self.packed:
             from ..kernels.pallas_cloudsc import pack_inputs
 
-            packed, _ = pack_inputs(fields, self.sublanes, self.params,
+            # on a mesh, pad so every device's shard is a whole tile
+            gran = self.sublanes
+            if self.mesh is not None:
+                gran *= int(self.mesh.devices.size)
+            packed, _ = pack_inputs(fields, gran, self.params,
                                     self.scheme_config)
             return packed, ncol
         mult = self._pad_multiple()
@@ -155,7 +164,11 @@ class CloudscDriver:
         timings = Timings()
 
         t0 = time.perf_counter()
-        if self.mesh is not None:
+        if self.mesh is not None and self.packed:
+            from .dist import shard_packed
+
+            fields = shard_packed(fields, self.mesh)
+        elif self.mesh is not None:
             fields = shard_fields(fields, self.mesh)
         else:
             fields = jax.device_put(fields)

@@ -57,3 +57,41 @@ def test_distributed_error_norms(mesh):
     np.testing.assert_allclose(got[2], np.abs(field - ref).max(), rtol=1e-12)
     np.testing.assert_allclose(got[3], np.abs(field - ref).sum(), rtol=1e-9)
     np.testing.assert_allclose(got[4], np.abs(ref).sum(), rtol=1e-9)
+
+
+def test_sharded_packed_pallas_matches_scan():
+    """The packed Pallas fast path over the mesh via shard_map (interpret
+    mode on the virtual CPU devices) must match the single-device scan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device CPU platform")
+
+    from conftest import REFERENCE_DATA
+    from cloudsc_tpu.data import load_input
+    from cloudsc_tpu.params import Params
+    from cloudsc_tpu.physics import cloudsc, make_inputs
+    from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs
+    from cloudsc_tpu.runtime import dist
+
+    ncol = 8 * 2 * 128  # 8 devices x 2 sublanes x 128 lanes
+    inp = load_input(REFERENCE_DATA, ngptot=ncol)
+    params = Params.from_input(inp)
+    fields = make_inputs(inp, dtype=jnp.float32)
+    ref = jax.jit(lambda f: cloudsc(f, params, inp.ptsphy))(fields)
+
+    mesh = dist.column_mesh()
+    packed, _ = pack_inputs(fields, 2, params)
+    packed = dist.shard_packed(packed, mesh)
+    fn = dist.sharded_cloudsc_packed(params, inp.ptsphy, mesh, sublanes=2,
+                                     interpret=True)
+    out = fn(packed)
+    for name in ref._fields:
+        a = np.asarray(getattr(ref, name), dtype=np.float64)
+        b = np.asarray(getattr(out, name), dtype=np.float64)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 1e-5, f"{name}: {err:.2e}"
