@@ -67,9 +67,7 @@ _S_RAININC_PREV = 29
 _S_SNOWINC_PREV = 30
 _S_LNEGR_PREV = 31
 _S_LNEGS_PREV = 32
-_S_PMFU_K = 33           # pmfu/pmfd at the CURRENT level, carried from the
-_S_PMFD_K = 34           # previous step's k+1 lookahead block (packed mode);
-_NSCR = 35               # zeros at k=0, harmless: only scan-masked consumers
+_NSCR = 33
 
 _IN_STREAMED = [
     "pt", "pq", "tendency_tmp_t", "tendency_tmp_q", "tendency_tmp_a",
@@ -99,34 +97,40 @@ def _aer_rows(c) -> list[str]:
 
 # row order inside the packed input array (packed-storage mode — the
 # CLOUDSC_PACKED_STORAGE / FIELD-API packed-buffer analogue,
-# ref: README.md:324-330, cloudsc_field_state_mod.F90). pmfu/pmfd/plu are NOT
-# packed: their k+1 values stream in the lookahead block and their k values
-# are carried in scratch from the previous step (plu is only read at k+1).
-_PACK_ROWS = [
-    f for f in _IN_STREAMED if f not in ("pmfu", "pmfd", "plu")
-] + [f"pclv{m}" for m in range(4)] + [f"tcld{m}" for m in range(4)]
+# ref: README.md:324-330, cloudsc_field_state_mod.F90)
+_PACK_ROWS = _IN_STREAMED + [f"pclv{m}" for m in range(4)] + [
+    f"tcld{m}" for m in range(4)
+]
 _PACK_IDX = {name: i for i, name in enumerate(_PACK_ROWS)}
-# the k+1 lookahead block streams these three fields (ref: JK+1 reads)
+# the k+1 lookahead block streams these three fields (ref: JK+1 reads); for
+# sub-levels before the last one the lookahead row is inside the current
+# multi-level block
 _NEXT_FIELDS = ("pmfu", "pmfd", "plu")
 
 
-def _unpack_inputs(ins, packed, aer):
+def _unpack_inputs(ins, packed, aer, sub, lps):
     """-> (r, (pmfu_n, pmfd_n, plu_n), (paph_k, paph_k1), (plsm, ldcum, ktype,
-    paph_surf)) as (SB, 128) arrays, from either input layout. `aer` lists the
-    extra per-level aerosol fields appended to the layout."""
+    paph_surf)) as (SB, 128) arrays for sub-level `sub` of an lps-level block.
+    `aer` lists the extra per-level aerosol fields appended to the layout."""
     if packed:
         pack, nxt, paph_k, paph_k1, col = ins
-        r = {name: pack[0, _PACK_IDX[name]] for name in _IN_STREAMED
-             if name in _PACK_IDX}
-        r["pclv"] = [pack[0, _PACK_IDX[f"pclv{m}"]] for m in range(4)]
+        r = {name: pack[sub, _PACK_IDX[name]] for name in _IN_STREAMED}
+        r["pclv"] = [pack[sub, _PACK_IDX[f"pclv{m}"]] for m in range(4)]
         r["tendency_tmp_cld"] = [
-            pack[0, _PACK_IDX[f"tcld{m}"]] for m in range(4)
+            pack[sub, _PACK_IDX[f"tcld{m}"]] for m in range(4)
         ]
         for j, name in enumerate(aer):
-            r[name] = pack[0, len(_PACK_ROWS) + j]
-        nxts = tuple(nxt[0, j] for j in range(3))
+            r[name] = pack[sub, len(_PACK_ROWS) + j]
+        if sub < lps - 1:  # the k+1 row lives inside the current block
+            nxts = tuple(
+                pack[sub + 1, _PACK_IDX[n]] for n in _NEXT_FIELDS
+            )
+            paphs = (paph_k[sub], paph_k[sub + 1])
+        else:
+            nxts = tuple(nxt[0, j] for j in range(3))
+            paphs = (paph_k[sub], paph_k1[0])
         cols = (col[0], col[1] > 0.5, col[2].astype(jnp.int32), col[3])
-        return r, nxts, (paph_k[0], paph_k1[0]), cols
+        return r, nxts, paphs, cols
     it = iter(ins)
     r = {name: next(it)[0] for name in _IN_STREAMED}
     r_pmfu_n, r_pmfd_n, r_plu_n = next(it), next(it), next(it)
@@ -155,7 +159,7 @@ _OHALF_ROWS = ("pfsqlf", "pfsqif", "pfcqlng", "pfcqnng", "pfsqrf", "pfsqsf",
 _OH = {name: i for i, name in enumerate(_OHALF_ROWS)}
 
 
-def _kernel(c, nlev, ktop, packed, *refs):
+def _kernel(c, nlev, ktop, packed, lps, *refs):
     aer = _aer_rows(c)
     nin = 5 if packed else len(_IN_STREAMED) + 3 + 2 + 2 + 4 + len(aer)
     ins, outs, scr = refs[:nin], refs[nin:-1], refs[-1]
@@ -164,34 +168,45 @@ def _kernel(c, nlev, ktop, packed, *refs):
     # buffer, one per-column buffer — 3 output DMAs per grid step instead of 21
     o_lev, o_half, o_prainfrac = outs
 
-    k = pl.program_id(1)
+    k2 = pl.program_id(1)
     zqtmst, ptsphy = c.zqtmst, c.ptsphy
 
-    @pl.when(k == 0)
+    @pl.when(k2 == 0)
     def _init():
         scr[...] = jnp.zeros_like(scr)
         scr[_S_LLRAINLIQ] = jnp.ones_like(scr[_S_LLRAINLIQ])
+
+    # each grid step integrates `lps` consecutive levels (halving the
+    # per-step DMA-issue and pipeline cost); (nlev+1) % lps == 0 by _build
+    for sub in range(lps):
+        _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
+                   ins, o_lev, o_half, o_prainfrac, scr, aer)
+
+
+def _sub_level(c, nlev, ktop, packed, lps, sub, k,
+               ins, o_lev, o_half, o_prainfrac, scr, aer):
+    zqtmst, ptsphy = c.zqtmst, c.ptsphy
 
     # ---- section 8 flux rows for half-level k (state BEFORE level k) ------
     # (ref: 2788-2867; the running sums live in scratch)
     pfplsl = scr[_S_PFPLSX + IR] + scr[_S_PFPLSX + IL]
     pfplsn = scr[_S_PFPLSX + IS] + scr[_S_PFPLSX + II]
-    o_half[0, _OH["pfplsl"]] = pfplsl
-    o_half[0, _OH["pfplsn"]] = pfplsn
-    o_half[0, _OH["pfhpsl"]] = -c.RLVTT * pfplsl
-    o_half[0, _OH["pfhpsn"]] = -c.RLSTT * pfplsn
-    o_half[0, _OH["pfsqlf"]] = scr[_S_A_LF]
-    o_half[0, _OH["pfsqif"]] = scr[_S_A_IF]
-    o_half[0, _OH["pfcqlng"]] = scr[_S_A_LNG]
-    o_half[0, _OH["pfcqnng"]] = scr[_S_A_NNG]
-    o_half[0, _OH["pfsqltur"]] = scr[_S_A_LTUR]
-    o_half[0, _OH["pfsqitur"]] = scr[_S_A_ITUR]
+    o_half[sub, _OH["pfplsl"]] = pfplsl
+    o_half[sub, _OH["pfplsn"]] = pfplsn
+    o_half[sub, _OH["pfhpsl"]] = -c.RLVTT * pfplsl
+    o_half[sub, _OH["pfhpsn"]] = -c.RLSTT * pfplsn
+    o_half[sub, _OH["pfsqlf"]] = scr[_S_A_LF]
+    o_half[sub, _OH["pfsqif"]] = scr[_S_A_IF]
+    o_half[sub, _OH["pfcqlng"]] = scr[_S_A_LNG]
+    o_half[sub, _OH["pfcqnng"]] = scr[_S_A_NNG]
+    o_half[sub, _OH["pfsqltur"]] = scr[_S_A_LTUR]
+    o_half[sub, _OH["pfsqitur"]] = scr[_S_A_ITUR]
     # rain/snow accumulate onto the liquid/ice flux of the level above
     # (intentional-looking aliasing preserved from ref: 2818-2819)
-    o_half[0, _OH["pfsqrf"]] = scr[_S_ALF_PREV] + scr[_S_RAININC_PREV]
-    o_half[0, _OH["pfsqsf"]] = scr[_S_AIF_PREV] + scr[_S_SNOWINC_PREV]
-    o_half[0, _OH["pfcqrng"]] = scr[_S_ALNG_PREV] + scr[_S_LNEGR_PREV]
-    o_half[0, _OH["pfcqsng"]] = scr[_S_ANNG_PREV] + scr[_S_LNEGS_PREV]
+    o_half[sub, _OH["pfsqrf"]] = scr[_S_ALF_PREV] + scr[_S_RAININC_PREV]
+    o_half[sub, _OH["pfsqsf"]] = scr[_S_AIF_PREV] + scr[_S_SNOWINC_PREV]
+    o_half[sub, _OH["pfcqrng"]] = scr[_S_ALNG_PREV] + scr[_S_LNEGR_PREV]
+    o_half[sub, _OH["pfcqsng"]] = scr[_S_ANNG_PREV] + scr[_S_LNEGS_PREV]
 
     @pl.when(k == nlev)
     def _flush():
@@ -199,14 +214,10 @@ def _kernel(c, nlev, ktop, packed, *refs):
 
     @pl.when(k < nlev)
     def _level():
-        raw, nxts, paphs, cols = _unpack_inputs(ins, packed, aer)
+        raw, nxts, paphs, cols = _unpack_inputs(ins, packed, aer, sub, lps)
         pmfu_n, pmfd_n, plu_n = nxts
         paph_k, paph_k1 = paphs
         plsm, ldcum_b, ktype_i, paph_surf = cols
-        if packed:
-            # current-level mass fluxes carried from the previous lookahead
-            raw["pmfu"] = scr[_S_PMFU_K]
-            raw["pmfd"] = scr[_S_PMFD_K]
 
         ini = scheme.level_init(raw, c)
         is_scan = k >= ktop
@@ -257,15 +268,15 @@ def _kernel(c, nlev, ktop, packed, *refs):
         # per-level outputs; rows above NCLDTOP keep their section-1 values
         # exactly as in the Fortran (the JK loop starts at NCLDTOP, ref: 854)
         plude_row = sel(ys["plude"], raw["plude"])
-        o_lev[0, 0] = plude_row
-        o_lev[0, 1] = sel(ys["pcovptot"], zero)
-        o_lev[0, 2] = sel(ys["tend_t"], ini["tend_t_pre"])
-        o_lev[0, 3] = sel(ys["tend_q"], ini["tend_q_pre"])
-        o_lev[0, 4] = sel(ys["tend_a"], zero)
+        o_lev[sub, 0] = plude_row
+        o_lev[sub, 1] = sel(ys["pcovptot"], zero)
+        o_lev[sub, 2] = sel(ys["tend_t"], ini["tend_t_pre"])
+        o_lev[sub, 3] = sel(ys["tend_q"], ini["tend_q_pre"])
+        o_lev[sub, 4] = sel(ys["tend_a"], zero)
         zqxn_eff = [sel(ys["zqxn"][m], zero) for m in range(NCLV)]
-        o_lev[0, 5 + IV] = zero
+        o_lev[sub, 5 + IV] = zero
         for m in (IL, II, IR, IS):
-            o_lev[0, 5 + m] = (zqxn_eff[m] - ini["zqx0"][m]) * zqtmst
+            o_lev[sub, 5 + m] = (zqxn_eff[m] - ini["zqx0"][m]) * zqtmst
 
         # carry updates — frozen (zero-state) above NCLDTOP
         scr[_S_ZANEWM1] = sel(new_carry["zanewm1"], scr[_S_ZANEWM1])
@@ -284,9 +295,6 @@ def _kernel(c, nlev, ktop, packed, *refs):
         scr[_S_ZTP1_PREV] = ini["ztp1"]
         scr[_S_ZA_PREV] = ini["za"]
         scr[_S_PAP_PREV] = raw["pap"]
-        if packed:
-            scr[_S_PMFU_K] = pmfu_n
-            scr[_S_PMFD_K] = pmfd_n
 
         # section-8 increments for this level (ref: 2798-2857)
         zgdph_r = -c.zrg_r * (paph_k1 - paph_k) * zqtmst
@@ -324,7 +332,11 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
     ktop = c.NCLDTOP - 1
     SB = sublanes
     ni = nblk // SB
-    grid = (ni, nlev + 1)
+    # packed mode integrates 2 levels per grid step (the nlev+1 half-levels
+    # split exactly; the input pack is padded by one edge row)
+    lps = 2 if (packed and (nlev + 1) % 2 == 0) else 1
+    nk2 = (nlev + 1) // lps
+    grid = (ni, nk2)
 
     def lev(k):
         return jnp.minimum(k, nlev - 1)
@@ -360,18 +372,23 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
 
     aer = _aer_rows(c)
     if packed:
-        # packed storage: ONE streamed block carries every per-level field
-        # (single DMA per step), one 3-row block for the k+1 reads, one
-        # resident per-column block (ref: README.md:324-330 packed buffers)
+        # packed storage: ONE streamed block carries every per-level field of
+        # lps levels (single DMA per step), one lookahead block for the k+1
+        # reads of the last sub-level, one resident per-column block
+        # (ref: README.md:324-330 packed buffers)
         nrows = len(_PACK_ROWS) + len(aer)
+        clamp2 = lambda k: jnp.minimum(k + 1, nk2 - 1)
         in_specs = [
-            pl.BlockSpec((1, nrows, SB, LANES),
-                         lambda i, k: (lev(k), 0, i, 0),
+            pl.BlockSpec((lps, nrows, SB, LANES),
+                         lambda i, k: (k, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, SB, LANES),
-                         lambda i, k: (jnp.minimum(k + 1, nlev - 1), 0, i, 0),
+            pl.BlockSpec((lps, 3, SB, LANES),
+                         lambda i, k: (clamp2(k), 0, i, 0),
                          memory_space=pltpu.VMEM),
-            spec_half(0), spec_half(1),
+            pl.BlockSpec((lps, SB, LANES), lambda i, k: (k, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lps, SB, LANES), lambda i, k: (clamp2(k), i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((4, SB, LANES), lambda i, k: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -387,20 +404,33 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
 
     f = jnp.dtype(dtype)
     nol, noh = len(_OLEV_ROWS), len(_OHALF_ROWS)
-    out_specs = [
-        pl.BlockSpec((1, nol, SB, LANES), lambda i, k: (lev(k), 0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, noh, SB, LANES), lambda i, k: (k, 0, i, 0),
-                     memory_space=pltpu.VMEM),
-        spec_col(),
-    ]
+    if lps > 1:
+        # the per-level buffer gets one padded row so its nlev rows split into
+        # whole lps-blocks; _assemble slices the pad off
+        out_specs = [
+            pl.BlockSpec((lps, nol, SB, LANES), lambda i, k: (k, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lps, noh, SB, LANES), lambda i, k: (k, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            spec_col(),
+        ]
+        nlev_rows = nk2 * lps
+    else:
+        out_specs = [
+            pl.BlockSpec((1, nol, SB, LANES), lambda i, k: (lev(k), 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, noh, SB, LANES), lambda i, k: (k, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            spec_col(),
+        ]
+        nlev_rows = nlev
     out_shape = [
-        jax.ShapeDtypeStruct((nlev, nol, nblk, LANES), f),
+        jax.ShapeDtypeStruct((nlev_rows, nol, nblk, LANES), f),
         jax.ShapeDtypeStruct((nlev + 1, noh, nblk, LANES), f),
         jax.ShapeDtypeStruct((nblk, LANES), f),
     ]
 
-    kernel = functools.partial(_kernel, c, nlev, ktop, packed)
+    kernel = functools.partial(_kernel, c, nlev, ktop, packed, lps)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -436,10 +466,18 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
     if params is not None:
         c = scheme.derived_consts(params, 1.0, dtype, config)
         rows += [fields[name] for name in _aer_rows(c)]
-    pack = shp(jnp.stack([r.astype(dtype) for r in rows], axis=1))
-    nxt = shp(jnp.stack(
+
+    def pad_lev(a):
+        # one edge-replicated level row so nlev+1 rows split into whole
+        # 2-level blocks (only read behind NCLDTOP masks / never read)
+        if (nlev + 1) % 2 == 0:
+            return jnp.concatenate([a, a[-1:]], axis=0)
+        return a
+
+    pack = pad_lev(shp(jnp.stack([r.astype(dtype) for r in rows], axis=1)))
+    nxt = pad_lev(shp(jnp.stack(
         [fields["pmfu"], fields["pmfd"], fields["plu"]], axis=1
-    ))
+    )))
     paph = shp(fields["paph"])
     col = shp(jnp.stack([
         fields["plsm"].astype(dtype),
@@ -485,7 +523,7 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
             p, ncol = pack_inputs(fields, sublanes, params, config)
         else:
             p, ncol = packed, ncol_packed
-        nlev = p["pack"].shape[0]
+        nlev = p["paph"].shape[0] - 1  # pack may carry a 2-level-block pad row
         nblk = p["pack"].shape[2]
         dtype = p["pack"].dtype
         target = nblk * LANES
@@ -528,6 +566,8 @@ def _assemble(res, nblk, ncol, target) -> CloudscOutputs:
     Under jit these are lazy slices — a consumer that touches only a few
     fields (e.g. a benchmark loop) pays only for those."""
     o_lev, o_half, o_prainfrac = res
+    nlev = o_half.shape[0] - 1
+    o_lev = o_lev[:nlev]  # drop the 2-level-block pad row, if any
 
     def unshp(a):  # (..., nblk, LANES) -> (..., ncol)
         a = a.reshape(a.shape[:-2] + (nblk * LANES,))
