@@ -377,17 +377,19 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         # reads of the last sub-level, one resident per-column block
         # (ref: README.md:324-330 packed buffers)
         nrows = len(_PACK_ROWS) + len(aer)
-        clamp2 = lambda k: jnp.minimum(k + 1, nk2 - 1)
+        # the lookahead blocks carry ONE row — the level right after this
+        # step's lps levels (only the last sub-level needs it)
+        look = lambda k: jnp.minimum(lps * (k + 1), nlev)
         in_specs = [
             pl.BlockSpec((lps, nrows, SB, LANES),
                          lambda i, k: (k, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((lps, 3, SB, LANES),
-                         lambda i, k: (clamp2(k), 0, i, 0),
+            pl.BlockSpec((1, 3, SB, LANES),
+                         lambda i, k: (look(k), 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lps, SB, LANES), lambda i, k: (k, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((lps, SB, LANES), lambda i, k: (clamp2(k), i, 0),
+            pl.BlockSpec((1, SB, LANES), lambda i, k: (look(k), i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, SB, LANES), lambda i, k: (0, i, 0),
                          memory_space=pltpu.VMEM),
