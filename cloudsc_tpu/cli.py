@@ -96,7 +96,20 @@ def main(argv=None) -> int:
         "CLOUDSC_REFERENCE", "/root/reference/config-files/reference.h5"
     )
 
-    inp = load_input(input_path, ngptot=args.ngptot)
+    # multi-host: argv NGPTOT is the GLOBAL column count; each process takes
+    # the reference's per-rank share (ref: dwarf_cloudsc.F90:74-77) and loads
+    # its slice (true slicing only when the file is big enough, else the
+    # replicated-columns property applies, ref: expand_mod.F90:30-46)
+    nranks = jax.process_count()
+    rank = jax.process_index()
+    ngptotg = args.ngptot
+    if nranks > 1:
+        share = (ngptotg - 1) // nranks + 1
+        ngptot = min(share, ngptotg - rank * share)
+    else:
+        ngptot = ngptotg
+    inp = load_input(input_path, ngptot=ngptot, ngptotg=ngptotg,
+                     rank=rank, nranks=nranks)
     params = Params.from_input(inp)
 
     backend = {"scan": "xla", "pallas": "pallas", "auto": "auto"}[args.kernel]
@@ -108,10 +121,10 @@ def main(argv=None) -> int:
         params, inp.ptsphy, dtype=dtype, nproma=args.nproma,
         use_mesh=args.mesh, backend=backend, scheme_config=cfg,
     )
-    ngpblks = -(-args.ngptot // args.nproma)
+    ngpblks = -(-ngptot // args.nproma)
     ndev = driver.mesh.devices.size if driver.mesh is not None else 1
     print(
-        f"     NUMPROC={ndev}, NUMOMP={args.numomp}, NGPTOTG={args.ngptot}, "
+        f"     NUMPROC={max(ndev, nranks)}, NUMOMP={args.numomp}, NGPTOTG={ngptotg}, "
         f"NPROMA={args.nproma}, NGPBLKS={ngpblks}"
     )
 
@@ -123,7 +136,7 @@ def main(argv=None) -> int:
         print(f" profiler trace -> {args.profile}")
     else:
         out, timings, timer = driver.run(inp, iterations=args.iterations)
-    timer.print_performance(args.nproma, ngpblks, args.ngptot, numomp=args.numomp)
+    timer.print_performance(args.nproma, ngpblks, ngptot, numomp=args.numomp)
     print(
         f" device compute: {timings.compute_s * 1e3:9.3f} ms | h2d:"
         f" {timings.h2d_s * 1e3:9.3f} ms | d2h: {timings.d2h_s * 1e3:9.3f} ms |"
@@ -131,8 +144,8 @@ def main(argv=None) -> int:
     )
 
     if not args.no_validate:
-        ref = load_reference(ref_path, ngptot=args.ngptot)
-        validate_outputs(out, ref, ngptotg=args.ngptot)
+        ref = load_reference(ref_path, ngptot=ngptot)
+        validate_outputs(out, ref, ngptotg=ngptotg)
 
     # snapshot hooks for regenerating goldens — the Serialbox write hooks of
     # the reference (CLOUDSC_WRITE_INPUT/CLOUDSC_WRITE_REFERENCE,

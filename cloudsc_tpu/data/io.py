@@ -84,20 +84,32 @@ def _load_raw(path: str | Path) -> tuple[dict, dict]:
     return fields, scalars
 
 
-def load_input(path: str | Path, ngptot: int | None = None) -> InputData:
+def load_input(path: str | Path, ngptot: int | None = None,
+               ngptotg: int | None = None, rank: int = 0,
+               nranks: int = 1) -> InputData:
     """Load the input snapshot and expand to ngptot columns.
 
     `path` may be the reference's data/ directory (raw Serialbox archive) or an
     input.h5 mirror. Expansion tiles the file columns cyclically
-    (ref: expand_mod.F90:237-334).
+    (ref: expand_mod.F90:237-334). In a multi-host run pass this host's
+    (rank, nranks) and the global column count ngptotg: a true per-rank slice
+    of the file columns is taken only when the file holds at least ngptotg
+    columns — otherwise every rank loads (and tiles) the same columns, which
+    keeps distributed results bitwise-comparable to single-host ones
+    (ref: expand_mod.F90:30-46, README.md:167-175).
     """
+    from .expand import get_offsets
+
     raw_fields, scalars = _load_raw(path)
     klon = int(scalars["KLON"])
     klev = int(scalars["KLEV"])
     ngptot = ngptot or klon
+    start, count = get_offsets(klon, ngptot, ngptotg or ngptot, rank, nranks)
     fields = {}
     for name in INPUT_FIELDS:
         arr = raw_fields[name]
+        if (start, count) != (0, klon):
+            arr = arr[..., start:start + count]
         fields[name] = expand_field(arr, ngptot)
     # Parameter tables stored as fields, not per-column data — no expansion
     # (ref: yoecldp.F90:358-366 loads YRECLDP_RBETA(0:100)).

@@ -57,3 +57,29 @@ def test_params(params):
     assert isinstance(params.ydcst.rg, float)
     assert params.ydthf.rvtmp2 == 0.0
     assert len(params.ydecldp.rbeta) == 101
+
+
+def test_per_rank_slicing(tmp_path):
+    """True per-rank column slicing when the file holds >= NGPTOTG columns
+    (ref: expand_mod.F90:30-46 get_offsets)."""
+    import numpy as np
+
+    from cloudsc_tpu.data import load_input, write_h5
+    import os
+
+    src = load_input(os.environ.get("CLOUDSC_INPUT", "/root/reference/data"),
+                     ngptot=256)
+    big = tmp_path / "big.h5"
+    scalars = dict(src.scalars)
+    scalars["KLON"] = 256
+    fields = {k: v for k, v in src.fields.items()}
+    write_h5(big, fields, scalars)
+
+    full = load_input(big, ngptot=256)
+    r0 = load_input(big, ngptot=128, ngptotg=256, rank=0, nranks=2)
+    r1 = load_input(big, ngptot=128, ngptotg=256, rank=1, nranks=2)
+    for name in ("PT", "PAPH", "PCLV"):
+        np.testing.assert_array_equal(r0.fields[name],
+                                      full.fields[name][..., :128])
+        np.testing.assert_array_equal(r1.fields[name],
+                                      full.fields[name][..., 128:])
