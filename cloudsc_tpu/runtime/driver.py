@@ -109,6 +109,10 @@ class CloudscDriver:
         config) and the XLA scan elsewhere — the analogue of the reference
         selecting its gpu-scc-k-caching vs fortran driver per platform."""
         if backend != "auto":
+            if backend not in ("xla", "pallas"):
+                raise ValueError(
+                    f"unknown backend {backend!r}; use 'auto', 'xla' or 'pallas'"
+                )
             return backend
         from ..kernels import pallas_supported
 
