@@ -21,13 +21,16 @@ def get_offsets(klon_file: int, ngptot: int, ngptotg: int, rank: int, nranks: in
 
     True distribution only when the file has at least NGPTOTG columns; otherwise
     every rank reads the full file and tiles it (ref: expand_mod.F90:30-46).
+
+    The stride matches the reference exactly: every rank starts at
+    rank * ceil(ngptotg / nranks) — the same share rule the entry point uses to
+    size NGPTOT (ref: expand_mod.F90:37-43, dwarf_cloudsc.F90:74-77) — so the
+    union of rank slices covers columns [0, ngptotg) with no gap or overlap.
     """
     if klon_file >= ngptotg:
-        base = ngptotg // nranks
-        rem = ngptotg % nranks
-        start = rank * base + min(rank, rem)
-        count = base + (1 if rank < rem else 0)
-        return start, min(count, ngptot)
+        share = (ngptotg - 1) // nranks + 1
+        start = rank * share
+        return start, min(klon_file, ngptot)
     return 0, klon_file
 
 

@@ -46,7 +46,10 @@ def get_lib():
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not _SO.exists() and not _build():
+        # always invoke make: it is a no-op when the library is current and
+        # rebuilds when the source is newer (a stale binary built elsewhere
+        # with -march=native could SIGILL at call time on this host)
+        if not _build() and not _SO.exists():
             _lib_failed = True
             return None
         try:

@@ -117,7 +117,9 @@ class CloudscDriver:
         from ..kernels import pallas_supported
 
         import jax.numpy as jnp
-        on_tpu = jax.default_backend() not in ("cpu", "METAL")
+        # gate strictly on the TPU backend: on CUDA/ROCm/METAL JAX installs the
+        # Mosaic kernel cannot lower, so 'auto' must fall back to the XLA scan
+        on_tpu = jax.default_backend() == "tpu"
         if on_tpu and self.dtype == jnp.float32 and pallas_supported(self.params):
             return "pallas"
         return "xla"

@@ -51,6 +51,22 @@ def test_get_offsets_replication():
     assert (start, count) == (1000, 1000)
 
 
+def test_get_offsets_uneven_coverage():
+    """Rank slices must tile [0, ngptotg) exactly with the reference's
+    ceil-stride rule even when ngptotg % nranks != 0
+    (ref: expand_mod.F90:37-43 + dwarf_cloudsc.F90:74-77 share rule)."""
+    ngptotg, nranks = 10, 4
+    share = (ngptotg - 1) // nranks + 1
+    covered = []
+    for rank in range(nranks):
+        ngptot = min(share, ngptotg - rank * share)  # the CLI's per-rank share
+        if ngptot <= 0:
+            continue
+        start, count = get_offsets(ngptotg, ngptot, ngptotg, rank, nranks)
+        covered.extend(range(start, start + count))
+    assert covered == list(range(ngptotg))
+
+
 def test_params(params):
     assert params.ydecldp.ncldtop == 15
     assert params.ydecldp.nssopt == 1
