@@ -73,7 +73,9 @@ def main() -> int:
         "CLOUDSC_BENCH_NGPTOT", (163840 if on_tpu else 8192) * ndev
     ))
     iters = int(os.environ.get("CLOUDSC_BENCH_ITERS", 10 if on_tpu else 2))
-    input_path = os.environ.get("CLOUDSC_INPUT", "/root/reference/data")
+    from cloudsc_tpu.data import default_input_path
+
+    input_path = default_input_path()
     backend = os.environ.get("CLOUDSC_BENCH_BACKEND", "auto")
 
     inp = load_input(input_path, ngptot=ngptot)

@@ -84,17 +84,15 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
 
-    from .data import load_input, load_reference
+    from .data import (
+        default_input_path, default_reference_path, load_input, load_reference,
+    )
     from .params import Params
     from .runtime.driver import CloudscDriver
     from .validate import validate_outputs
 
-    input_path = args.input or os.environ.get(
-        "CLOUDSC_INPUT", "/root/reference/data"
-    )
-    ref_path = args.reference or os.environ.get(
-        "CLOUDSC_REFERENCE", "/root/reference/config-files/reference.h5"
-    )
+    input_path = args.input or default_input_path()
+    ref_path = args.reference or default_reference_path()
 
     # multi-host: argv NGPTOT is the GLOBAL column count; each process takes
     # the reference's per-rank share (ref: dwarf_cloudsc.F90:74-77) and loads

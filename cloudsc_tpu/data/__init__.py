@@ -4,6 +4,8 @@ from .io import (
     write_h5,
     InputData,
     REFERENCE_FIELDS,
+    default_input_path,
+    default_reference_path,
 )
 from .expand import expand_field, get_offsets
 
@@ -13,6 +15,8 @@ __all__ = [
     "write_h5",
     "InputData",
     "REFERENCE_FIELDS",
+    "default_input_path",
+    "default_reference_path",
     "expand_field",
     "get_offsets",
 ]

@@ -13,6 +13,7 @@ Reference outputs come from config-files/reference.h5
 from __future__ import annotations
 
 import dataclasses
+import os
 from pathlib import Path
 
 import numpy as np
@@ -44,6 +45,34 @@ REFERENCE_FIELDS = [
     "PFPLSL", "PFPLSN", "PFHPSL", "PFHPSN",
     "TENDENCY_LOC_A", "TENDENCY_LOC_Q", "TENDENCY_LOC_T", "TENDENCY_LOC_CLD",
 ]
+
+
+# The repo ships the 100-column snapshot as compressed HDF5 mirrors (the
+# reference commits its .dat archive the same way) so tests/CI run on a clean
+# checkout with no external data dependency.
+_REPO_DATA = Path(__file__).resolve().parents[2] / "data"
+
+
+def default_input_path() -> str:
+    """Input archive resolution: $CLOUDSC_INPUT > reference checkout > repo copy."""
+    env = os.environ.get("CLOUDSC_INPUT")
+    if env:
+        return env
+    ref = Path("/root/reference/data")
+    if ref.is_dir():
+        return str(ref)
+    return str(_REPO_DATA / "input.h5")
+
+
+def default_reference_path() -> str:
+    """Golden-output resolution: $CLOUDSC_REFERENCE > reference checkout > repo copy."""
+    env = os.environ.get("CLOUDSC_REFERENCE")
+    if env:
+        return env
+    ref = Path("/root/reference/config-files/reference.h5")
+    if ref.is_file():
+        return str(ref)
+    return str(_REPO_DATA / "reference.h5")
 
 
 @dataclasses.dataclass
@@ -149,6 +178,9 @@ def write_h5(path: str | Path, fields: dict, scalars: dict | None = None) -> Non
 
     with h5py.File(path, "w") as f:
         for name, arr in fields.items():
-            f.create_dataset(name, data=np.asarray(arr))
+            arr = np.asarray(arr)
+            kw = {"compression": "gzip", "compression_opts": 6} \
+                if arr.size > 256 else {}
+            f.create_dataset(name, data=arr, **kw)
         for name, val in (scalars or {}).items():
             f.create_dataset(name, shape=(1,), data=np.array([val]))

@@ -25,10 +25,10 @@ cloudsc_tpu.enable_compilation_cache()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-REFERENCE_DATA = os.environ.get("CLOUDSC_INPUT", "/root/reference/data")
-REFERENCE_H5 = os.environ.get(
-    "CLOUDSC_REFERENCE", "/root/reference/config-files/reference.h5"
-)
+from cloudsc_tpu.data import default_input_path, default_reference_path  # noqa: E402
+
+REFERENCE_DATA = default_input_path()
+REFERENCE_H5 = default_reference_path()
 
 
 @pytest.fixture(scope="session")

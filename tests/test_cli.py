@@ -42,10 +42,7 @@ def test_cli_write_reference(tmp_path):
         "--write-reference", str(ref_out),
     ])
     assert rc == 0
-    import os
-    shipped = os.environ.get(
-        "CLOUDSC_REFERENCE", "/root/reference/config-files/reference.h5"
-    )
+    from conftest import REFERENCE_H5 as shipped
     with h5py.File(ref_out) as a, h5py.File(shipped) as b:
         for k in b.keys():
             if k in ("KLON", "KLEV", "KFLDX"):

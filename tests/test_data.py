@@ -1,12 +1,23 @@
 """Data-layer tests: serialbox archive reading, expansion, parameter hydration."""
 
+import os
+
 import numpy as np
+import pytest
 
 from cloudsc_tpu.data import expand_field, get_offsets
 from cloudsc_tpu.data.serialbox import SerialboxArchive
 from conftest import REFERENCE_DATA
 
+# Raw-serialbox tests need the .dat archive; a clean checkout ships only the
+# h5 mirrors (data/*.h5), matching the reference which regenerates input.h5.
+needs_serialbox = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DATA),
+    reason="raw Serialbox archive not available (h5-mirror checkout)",
+)
 
+
+@needs_serialbox
 def test_archive_shapes():
     ar = SerialboxArchive(REFERENCE_DATA, "input")
     assert ar.field_dims("PT") == (100, 137)
@@ -19,16 +30,10 @@ def test_archive_shapes():
     assert ar.read("KTYPE").dtype == np.int32
 
 
+@needs_serialbox
 def test_archive_matches_h5_convention():
-    """Raw .dat read must agree with the shipped python-variant reference h5."""
-    import h5py
-
+    """Raw .dat read must agree with the h5-mirror conventions."""
     ar = SerialboxArchive(REFERENCE_DATA, "input")
-    with h5py.File(
-        "/root/reference/src/cloudsc_python/drivers/reference.h5", "r"
-    ) as f:
-        # this file holds outputs; cross-check the input against global scalars
-        pass
     g = ar.global_scalars()
     assert g["KLON"] == 100 and g["KLEV"] == 137
     assert abs(g["PTSPHY"] - 3600.0) < 1e-12
@@ -81,10 +86,8 @@ def test_per_rank_slicing(tmp_path):
     import numpy as np
 
     from cloudsc_tpu.data import load_input, write_h5
-    import os
 
-    src = load_input(os.environ.get("CLOUDSC_INPUT", "/root/reference/data"),
-                     ngptot=256)
+    src = load_input(REFERENCE_DATA, ngptot=256)
     big = tmp_path / "big.h5"
     scalars = dict(src.scalars)
     scalars["KLON"] = 256

@@ -19,9 +19,7 @@ from cloudsc_tpu.kernels import cloudsc_pallas
 NGPTOT = 512  # one (4-sublane, 128-lane) grid row -> fast in interpret mode
 
 
-import os
-
-INPUT_PATH = os.environ.get("CLOUDSC_INPUT", "/root/reference/data")
+from conftest import REFERENCE_DATA as INPUT_PATH
 
 
 @pytest.fixture(scope="module")

@@ -9,7 +9,6 @@ hardcodes 2/2/1/1), so these tests pin:
 """
 
 import itertools
-import os
 
 import jax
 import numpy as np
@@ -21,7 +20,7 @@ from cloudsc_tpu.physics import cloudsc, make_inputs
 from cloudsc_tpu.physics.scheme import SchemeConfig
 from cloudsc_tpu.kernels import cloudsc_pallas
 
-INPUT_PATH = os.environ.get("CLOUDSC_INPUT", "/root/reference/data")
+from conftest import REFERENCE_DATA as INPUT_PATH
 
 ALTERNATES = [
     SchemeConfig(iwarmrain=1),

@@ -3,10 +3,15 @@
 import os
 
 import numpy as np
+import pytest
 
 from cloudsc_tpu.tools.serialbox2h5 import convert
+from conftest import REFERENCE_DATA
 
-REFERENCE_DATA = os.environ.get("CLOUDSC_INPUT", "/root/reference/data")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_DATA),
+    reason="raw Serialbox archive not available (h5-mirror checkout)",
+)
 
 
 def test_serialbox2h5_roundtrip(tmp_path):
