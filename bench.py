@@ -51,6 +51,10 @@ def _dispatch_floor() -> float:
 def main() -> int:
     import jax
 
+    from cloudsc_tpu.runtime.dist import initialize_multihost
+
+    initialize_multihost()  # no-op unless a multi-process launcher set env
+
     on_tpu = jax.default_backend() not in ("cpu",)
     import jax.numpy as jnp
 

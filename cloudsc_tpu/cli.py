@@ -72,6 +72,13 @@ def main(argv=None) -> int:
 
     import jax
 
+    # multi-process init (the CLOUDSC_MPI_INIT analogue) must precede any
+    # device query; a no-op unless the launcher set JAX_COORDINATOR_ADDRESS
+    # (ref: dwarf_cloudsc.F90:69 calling cloudsc_mpi_init first)
+    from .runtime.dist import initialize_multihost
+
+    initialize_multihost()
+
     on_tpu = jax.default_backend() not in ("cpu",)
     precision = args.precision or ("fp32" if on_tpu else "fp64")
     if precision == "fp64":
@@ -121,35 +128,75 @@ def main(argv=None) -> int:
     )
     ngpblks = -(-ngptot // args.nproma)
     ndev = driver.mesh.devices.size if driver.mesh is not None else 1
-    print(
-        f"     NUMPROC={max(ndev, nranks)}, NUMOMP={args.numomp}, NGPTOTG={ngptotg}, "
-        f"NPROMA={args.nproma}, NGPBLKS={ngpblks}"
-    )
+    rank0 = rank == 0
+    if rank0:  # the reference's rank-0-gated config line
+        # (ref: cloudsc_driver_mod.F90:121-124)
+        print(
+            f"     NUMPROC={max(ndev, nranks)}, NUMOMP={args.numomp}, "
+            f"NGPTOTG={ngptotg}, NPROMA={args.nproma}, NGPBLKS={ngpblks}"
+        )
+
+    # snapshot hooks need full host outputs; mesh runs otherwise validate on
+    # device (norm reductions, never a field gather — ref: validate_mod.F90)
+    write_input = args.write_input or os.environ.get("CLOUDSC_WRITE_INPUT")
+    write_ref = args.write_reference or os.environ.get("CLOUDSC_WRITE_REFERENCE")
+    fetch = (not args.mesh) or bool(write_ref)
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.profile:
         with jax.profiler.trace(args.profile):
-            out, timings, timer = driver.run(inp, iterations=args.iterations)
+            out, timings, timer = driver.run(inp, iterations=args.iterations,
+                                             fetch_outputs=fetch)
         print(f" profiler trace -> {args.profile}")
     else:
-        out, timings, timer = driver.run(inp, iterations=args.iterations)
-    timer.print_performance(args.nproma, ngpblks, ngptot, numomp=args.numomp)
-    print(
-        f" device compute: {timings.compute_s * 1e3:9.3f} ms | h2d:"
-        f" {timings.h2d_s * 1e3:9.3f} ms | d2h: {timings.d2h_s * 1e3:9.3f} ms |"
-        f" compile: {timings.compile_s:7.3f} s"
-    )
+        out, timings, timer = driver.run(inp, iterations=args.iterations,
+                                         fetch_outputs=fetch)
+
+    # cross-rank perf gather (ref: timer_mod.F90:167) — a collective, so every
+    # rank participates; only rank 0 prints
+    rank_rows = None
+    if nranks > 1:
+        from .runtime.dist import gather_perf_rows
+
+        rank_rows = gather_perf_rows(
+            timings.compute_s * args.iterations, ngptot * args.iterations,
+        )
+    if rank0:
+        timer.print_performance(args.nproma, ngpblks, ngptot,
+                                numomp=args.numomp, rank=rank,
+                                rank_rows=rank_rows)
+        print(
+            f" device compute: {timings.compute_s * 1e3:9.3f} ms | h2d:"
+            f" {timings.h2d_s * 1e3:9.3f} ms | d2h: {timings.d2h_s * 1e3:9.3f} ms |"
+            f" compile: {timings.compile_s:7.3f} s"
+        )
 
     if not args.no_validate:
-        ref = load_reference(ref_path, ngptot=ngptot)
-        validate_outputs(out, ref, ngptotg=ngptotg)
+        ref = load_reference(ref_path, ngptot=ngptot, ngptotg=ngptotg,
+                             rank=rank, nranks=nranks)
+        if fetch:
+            validate_outputs(out, ref, ngptotg=ngptotg,
+                             multiprocess=nranks > 1, print_table=rank0)
+        else:
+            import numpy as np
+
+            from .runtime.dist import shard_fields
+            from .validate import device_field_norms, validate_from_norms
+
+            import jax.numpy as jnp
+
+            ref_dev = shard_fields(
+                {k: jnp.asarray(v, dtype) for k, v in ref.items()},
+                driver.mesh,
+            )
+            norms = np.asarray(device_field_norms(out, ref_dev))
+            validate_from_norms(norms, ngptotg, print_table=rank0,
+                                multiprocess=nranks > 1)
 
     # snapshot hooks for regenerating goldens — the Serialbox write hooks of
     # the reference (CLOUDSC_WRITE_INPUT/CLOUDSC_WRITE_REFERENCE,
     # ref: src/prototype1/support/serialize_mod.F90:62-130, README.md:199-205)
-    write_input = args.write_input or os.environ.get("CLOUDSC_WRITE_INPUT")
-    write_ref = args.write_reference or os.environ.get("CLOUDSC_WRITE_REFERENCE")
     if write_input:
         from .data import write_h5
 

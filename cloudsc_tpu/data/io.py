@@ -155,15 +155,34 @@ def load_input(path: str | Path, ngptot: int | None = None,
     )
 
 
-def load_reference(path: str | Path, ngptot: int | None = None) -> dict:
-    """Load the golden outputs (reference.h5), optionally expanded to ngptot."""
+def load_reference(path: str | Path, ngptot: int | None = None,
+                   ngptotg: int | None = None, rank: int = 0,
+                   nranks: int = 1) -> dict:
+    """Load the golden outputs (reference.h5), optionally expanded to ngptot.
+
+    Multi-host runs pass (rank, nranks, ngptotg): the reference columns are
+    sliced with the SAME get_offsets rule as the input, so each rank validates
+    its own slice against the matching golden columns (the reference reloads
+    the golden through the identical LOAD_AND_EXPAND path,
+    ref: cloudsc_global_state_mod.F90:288-321).
+    """
     import h5py
+
+    from .expand import get_offsets
 
     out = {}
     with h5py.File(path, "r") as f:
         for name in REFERENCE_FIELDS:
             arr = np.asarray(f[name])
-            out[name] = expand_field(arr, ngptot) if ngptot else arr
+            if ngptot is None:
+                out[name] = arr
+                continue
+            klon = arr.shape[-1]
+            start, count = get_offsets(klon, ngptot, ngptotg or ngptot,
+                                       rank, nranks)
+            if (start, count) != (0, klon):
+                arr = arr[..., start:start + count]
+            out[name] = expand_field(arr, ngptot)
     return out
 
 

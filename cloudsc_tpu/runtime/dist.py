@@ -28,9 +28,31 @@ COLUMN_AXIS = "columns"
 
 
 def initialize_multihost():
-    """jax.distributed init (the CLOUDSC_MPI_INIT analogue); no-op single host."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    """jax.distributed init (the CLOUDSC_MPI_INIT analogue); no-op single host.
+
+    Activated by the standard JAX env vars (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID) — the launcher contract of the
+    reference's `mpirun -np N binary ...` (ref: cloudsc_mpi_mod.F90:58-95).
+    Idempotent: safe to call from every entry point.
+    """
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    if getattr(jax.distributed, "is_initialized", None) and \
+            jax.distributed.is_initialized():
+        return
+    kw = {}
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        # plain-launcher contract (no SLURM/OMPI auto-detection available)
+        kw = dict(coordinator_address=addr, num_processes=int(nproc),
+                  process_id=int(pid))
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError as e:  # already initialized by the embedding app
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def column_mesh(devices=None) -> Mesh:
@@ -128,6 +150,51 @@ def sharded_cloudsc_packed(params, ptsphy: float, mesh: Mesh,
         )(packed)
 
     return jax.jit(fn)
+
+
+# -- cross-process collectives (the CLOUDSC_MPI_REDUCE_*/GATHER analogues) -----
+
+def allreduce_field_norms(norms: np.ndarray) -> np.ndarray:
+    """Reduce per-field (min, max, maxerr, errsum, refsum) rows across
+    processes — the CLOUDSC_MPI_REDUCE_MIN/MAX/SUM triple the reference
+    validator issues per field (ref: validate_mod.F90:148-151), batched into
+    one allgather for all fields.
+
+    `norms` is (nfields, 5) float64; returns the same shape, globally reduced.
+    Single-process: identity.
+    """
+    if jax.process_count() == 1:
+        return norms
+    from jax.experimental import multihost_utils
+
+    g = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(norms))
+    )  # (nproc, nfields, 5)
+    return np.stack(
+        [
+            g[..., 0].min(axis=0),
+            g[..., 1].max(axis=0),
+            g[..., 2].max(axis=0),
+            g[..., 3].sum(axis=0),
+            g[..., 4].sum(axis=0),
+        ],
+        axis=-1,
+    )
+
+
+def gather_perf_rows(time_s: float, ncols: int) -> np.ndarray:
+    """Gather one (seconds, columns) performance row per process to every
+    process — the CLOUDSC_MPI_GATHER the reference timer issues before
+    printing per-rank rows (ref: timer_mod.F90:167, cloudsc_mpi_mod.F90:271-329).
+
+    Returns (nprocs, 2) float64.
+    """
+    row = np.asarray([time_s, float(ncols)])
+    if jax.process_count() == 1:
+        return row[None, :]
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(jnp.asarray(row)))
 
 
 # -- validation-norm reductions (the CLOUDSC_MPI_REDUCE_* analogues) -----------

@@ -163,8 +163,16 @@ class CloudscDriver:
 
     # -- execution ---------------------------------------------------------------
 
-    def run(self, inp, iterations: int = 1, warmup: bool = True):
-        """Run the scheme; returns (outputs on host, Timings, PerformanceTimer)."""
+    def run(self, inp, iterations: int = 1, warmup: bool = True,
+            fetch_outputs: bool = True):
+        """Run the scheme; returns (outputs, Timings, PerformanceTimer).
+
+        With fetch_outputs=True (default) the outputs come back on host,
+        column-sliced, and d2h is timed. Mesh/bench-size callers pass False to
+        keep the outputs on device (the reference never gathers field data
+        either — validation reduces norms, ref: validate_mod.F90:148-151);
+        device-side validation then uses validate.device_field_norms.
+        """
         fields, ncol = self.prepare(inp)
         fn = self.fn_for(ncol)
         timings = Timings()
@@ -186,8 +194,11 @@ class CloudscDriver:
             out = sync(fn(fields))
             timings.compile_s = time.perf_counter() - t0
 
+        # one row per device: SPMD executes the same program on every mesh
+        # device, each holding its column shard — the analogue of the
+        # reference's per-thread rows (ref: timer_mod.F90:169-187)
         ndev = self.mesh.devices.size if self.mesh is not None else 1
-        timer = PerformanceTimer(ndevices=1)
+        timer = PerformanceTimer(ndevices=ndev)
         timer.start()
         t0 = time.perf_counter()
         for _ in range(iterations):
@@ -195,8 +206,12 @@ class CloudscDriver:
         out = sync(out)
         timings.compute_s = (time.perf_counter() - t0) / iterations
         timer.end()
-        timer.log(0, timings.compute_s * iterations, ncol * iterations * ndev)
+        per_dev = ncol * iterations // ndev
+        for dev in range(ndev):
+            timer.log(dev, timings.compute_s * iterations, per_dev)
 
+        if not fetch_outputs:
+            return out, timings, timer
         t0 = time.perf_counter()
         host_out = jax.tree.map(lambda x: np.asarray(x)[..., :ncol], out)
         timings.d2h_s = time.perf_counter() - t0

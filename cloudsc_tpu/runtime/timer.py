@@ -74,8 +74,14 @@ class PerformanceTimer:
     # -- report ---------------------------------------------------------------
 
     def performance_lines(self, nproma: int, ngpblks: int, ngptot: int,
-                          numomp: int | None = None) -> list[str]:
-        """The reference throughput table (ref: timer_mod.F90:169-187)."""
+                          numomp: int | None = None, rank: int = 0,
+                          rank_rows=None) -> list[str]:
+        """The reference throughput table (ref: timer_mod.F90:169-187).
+
+        `rank_rows` is the cross-process perf gather — (nprocs, 2) rows of
+        (seconds, columns), one per rank (ref: timer_mod.F90:167) — printed as
+        one extra row per rank; the TOTAL lines then report the global run.
+        """
         numomp = numomp if numomp is not None else self.ndevices
         lines = [f" Reference MFLOP count for 100 columns : {1.0e-6 * ZHPM:12.8f}"]
         hdr = ("NUMOMP", "NGPTOT", "#GP-cols", "#BLKS", "NPROMA")
@@ -83,34 +89,52 @@ class PerformanceTimer:
             " " + "".join(f"{h:>10s}" for h in hdr) + f" {'tid#':>4s} : "
             + "".join(f"{h:>10s}" for h in ("Time(msec)", "MFlops/s", "col/s"))
         )
-        tot_ms = tot_mf = tot_cs = 0
-        for dev in range(self.ndevices):
-            tloc = self.device_time[dev]
-            cols = self.device_cols[dev]
+
+        def row(tag: int, tloc: float, cols: int, suffix: str) -> str:
             mflops = 1.0e-6 * ZHPM * (cols / 100.0) / tloc if tloc > 0 else 0.0
             thrput = cols / tloc if tloc > 0 else 0.0
-            lines.append(
-                " " + f"{numomp:>10d}{ngptot:>10d}{cols:>10d}{ngpblks:>10d}{nproma:>10d}"
-                + f" {dev:>4d} : {int(tloc * 1000):>10d}{int(mflops):>10d}"
-                + f"{int(thrput):>10d} @ rank#0:device#{dev}:core#{_mycpu()}"
+            return (
+                " " + f"{numomp:>10d}{ngptot:>10d}{cols:>10d}{ngpblks:>10d}"
+                + f"{nproma:>10d} {tag:>4d} : {int(tloc * 1000):>10d}"
+                + f"{int(mflops):>10d}{int(thrput):>10d} {suffix}"
             )
+
+        for dev in range(self.ndevices):
+            lines.append(row(
+                dev, self.device_time[dev], self.device_cols[dev],
+                f"@ rank#{rank}:device#{dev}:core#{_mycpu()}",
+            ))
+        nranks = 1
+        if rank_rows is not None and len(rank_rows) > 1:
+            nranks = len(rank_rows)
+            for r, (tloc, cols) in enumerate(rank_rows):
+                lines.append(row(r, float(tloc), int(cols), f"@ rank#{r}"))
+
         tdiff = self.tend - self.tstart
+        gcols = ngptot
+        if rank_rows is not None and len(rank_rows) > 1:
+            tdiff = float(max(t for t, _ in rank_rows))
+            gcols = int(sum(c for _, c in rank_rows))
+        tot_ms = tot_mf = tot_cs = 0
         if tdiff > 0:
-            tot_mf = int(1.0e-6 * ZHPM * (ngptot / 100.0) / tdiff)
-            tot_cs = int(ngptot / tdiff)
+            tot_mf = int(1.0e-6 * ZHPM * (gcols / 100.0) / tdiff)
+            tot_cs = int(gcols / tdiff)
             tot_ms = int(tdiff * 1000)
         lines.append(
             " " + f"{numomp:>10d}{ngptot:>10d}{sum(self.device_cols):>10d}"
             + f"{ngpblks:>10d}{nproma:>10d} {-1:>4d} : {tot_ms:>10d}"
-            + f"{tot_mf:>10d}{tot_cs:>10d} : TOTAL @ rank#0"
+            + f"{tot_mf:>10d}{tot_cs:>10d} : TOTAL @ rank#{rank}"
         )
         lines.append(
-            " " + f"{1:>4d} x{numomp:>4d}{ngptot:>10d}{sum(self.device_cols):>10d}"
+            " " + f"{nranks:>4d} x{numomp:>4d}{ngptot:>10d}{gcols:>10d}"
             + f"{ngpblks:>10d}{nproma:>10d} {-1:>4d} : {tot_ms:>10d}"
             + f"{tot_mf:>10d}{tot_cs:>10d} : TOTAL"
         )
         return lines
 
     def print_performance(self, nproma: int, ngpblks: int, ngptot: int,
-                          numomp: int | None = None):
-        print("\n".join(self.performance_lines(nproma, ngpblks, ngptot, numomp)))
+                          numomp: int | None = None, rank: int = 0,
+                          rank_rows=None):
+        print("\n".join(self.performance_lines(
+            nproma, ngpblks, ngptot, numomp, rank=rank, rank_rows=rank_rows,
+        )))

@@ -150,17 +150,94 @@ def validation_header() -> str:
 
 
 def validate_outputs(outputs, reference: dict, ngptotg: int | None = None,
-                     print_table: bool = True) -> list[FieldErrors]:
-    """Validate a CloudscOutputs struct against the reference dict."""
+                     print_table: bool = True,
+                     multiprocess: bool = False) -> list[FieldErrors]:
+    """Validate a CloudscOutputs struct against the reference dict.
+
+    With `multiprocess=True` the per-field norms are allreduced across
+    jax processes before the table is built (the MPI-reduced global table of
+    the reference, ref: validate_mod.F90:148-151); every process returns the
+    same global statistics, and the caller gates printing to rank 0.
+    """
     results = []
-    lines = [validation_header()] if print_table else []
+    rows = []
     for name, _ in VALIDATION_ORDER:
         got = np.asarray(getattr(outputs, FIELD_ATTR[name]))
         want = np.asarray(reference[REF_DATASET[name]])
         errs = field_errors(name, got, want, ngptotg=ngptotg)
+        rows.append([errs.minval, errs.maxval, errs.maxerr,
+                     errs.errsum, errs.refsum])
         results.append(errs)
-        if print_table:
-            lines.append(error_line(errs))
+    if multiprocess:
+        from .runtime.dist import allreduce_field_norms
+
+        reduced = allreduce_field_norms(np.asarray(rows, dtype=np.float64))
+        n = float(ngptotg) if ngptotg else 1.0
+        results = [
+            dataclasses.replace(
+                e, minval=r[0], maxval=r[1], maxerr=r[2],
+                errsum=r[3], refsum=r[4], avgpgp=r[3] / n,
+            )
+            for e, r in zip(results, reduced)
+        ]
     if print_table:
+        lines = [validation_header()]
+        lines += [error_line(errs) for errs in results]
+        print("\n".join(lines))
+    return results
+
+
+def device_field_norms(outputs, reference: dict):
+    """All 21 fields' (min, max, maxerr, errsum, refsum) computed ON DEVICE in
+    one jitted program — the mesh-run validation path.
+
+    The reference never gathers field data for validation; it reduces norms
+    (ref: validate_mod.F90:148-151). Pulling full outputs over a slow host
+    link (~20 MB/s on the tunneled platform) to validate on host would take
+    minutes at benchmark sizes, so mesh runs reduce on device and fetch only
+    the (21, 5) result. `reference` arrays must already be on device with the
+    same sharding as the outputs. Sums run in fp64 where x64 is enabled
+    (CPU meshes), else the working precision.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def norms(outs, refs):
+        rows = []
+        for name, _ in VALIDATION_ORDER:
+            f = getattr(outs, FIELD_ATTR[name])
+            r = refs[REF_DATASET[name]]
+            f = f[..., : r.shape[-1]]  # drop tile/mesh padding columns
+            d = jnp.abs(f - r)
+            rows.append(jnp.stack([
+                jnp.min(f), jnp.max(f), jnp.max(d),
+                jnp.sum(d), jnp.sum(jnp.abs(r)),
+            ]))
+        return jnp.stack(rows)
+
+    return norms(outputs, reference)
+
+
+def validate_from_norms(norms: np.ndarray, ngptotg: int,
+                        print_table: bool = True,
+                        multiprocess: bool = False) -> list[FieldErrors]:
+    """Build the validation table from precomputed (21, 5) norm rows
+    (device-side path); optionally allreduce across processes first."""
+    norms = np.asarray(norms, dtype=np.float64)
+    if multiprocess:
+        from .runtime.dist import allreduce_field_norms
+
+        norms = allreduce_field_norms(norms)
+    results = []
+    for (name, ndim_hint), r in zip(VALIDATION_ORDER, norms):
+        results.append(FieldErrors(
+            name=name, ndim=ndim_hint, minval=float(r[0]), maxval=float(r[1]),
+            maxerr=float(r[2]), errsum=float(r[3]), refsum=float(r[4]),
+            avgpgp=float(r[3]) / float(ngptotg),
+        ))
+    if print_table:
+        lines = [validation_header()]
+        lines += [error_line(errs) for errs in results]
         print("\n".join(lines))
     return results
