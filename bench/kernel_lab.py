@@ -1,0 +1,141 @@
+"""Kernel performance lab — attribute step time to DMA vs compute on the TPU.
+
+Measures the fused Pallas kernel (packed storage) in three bodies with
+IDENTICAL BlockSpecs and I/O volume:
+  full   the production physics body
+  init   section-1 (level_init) compute only
+  floor  degenerate compute (pure streaming floor)
+across (sublanes, levels-per-step) variants and column counts. If
+full ~= floor + compute the pipeline is serialized; if full ~= max(floor,
+compute) the DMA overlaps compute and the kernel is bound by the larger.
+
+Timing methodology matches bench.py: iterations chained in one jitted
+fori_loop, dispatch floor subtracted, sync on a tiny on-device slice.
+
+Usage:
+    python bench/kernel_lab.py [--ngptot 163840 ...] [--sb 32] [--lps 2 3 6]
+        [--modes full floor init] [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _sync(x):
+    import numpy as np
+
+    return np.asarray(x[(0,) * (x.ndim - 1)][:1])
+
+
+def _dispatch_floor() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 128), jnp.float32)
+    fn = jax.jit(lambda a: a * 2.0)
+    _sync(fn(x))
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _sync(fn(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--ngptot", type=int, nargs="+", default=[163840])
+    p.add_argument("--sb", type=int, nargs="+", default=[32])
+    p.add_argument("--lps", type=int, nargs="+", default=[2])
+    p.add_argument("--modes", nargs="+", default=["full"])
+    p.add_argument("--skip", nargs="+", default=[""],
+                   help="CLOUDSC_SCHEME_SKIP values to sweep (section "
+                        "attribution; '' = full physics)")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--out", default=None)
+    a = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import cloudsc_tpu
+
+    cloudsc_tpu.enable_compilation_cache()
+
+    from cloudsc_tpu.data import default_input_path, load_input
+    from cloudsc_tpu.kernels.pallas_cloudsc import cloudsc_pallas, pack_inputs
+    from cloudsc_tpu.params import Params
+
+    floor_s = _dispatch_floor()
+    print(f"# dispatch floor: {floor_s * 1e3:.2f} ms", flush=True)
+    results = []
+
+    for ngptot in a.ngptot:
+        inp = load_input(default_input_path(), ngptot=ngptot)
+        params = Params.from_input(inp)
+        from cloudsc_tpu.physics import make_inputs
+
+        fields = make_inputs(inp, dtype=jnp.float32, host=True)
+        for sb in a.sb:
+            packed, ncol = pack_inputs(fields, sb, params)
+            packed = jax.device_put(packed)
+            jax.block_until_ready(packed)
+            for lps in a.lps:
+                os.environ["CLOUDSC_PALLAS_LPS"] = str(lps)
+                for mode, skip in ((m, s) for m in a.modes for s in a.skip):
+                    os.environ["CLOUDSC_SCHEME_SKIP"] = skip
+                    def step(p):
+                        return cloudsc_pallas(
+                            None, params, inp.ptsphy, sublanes=sb,
+                            packed=p, ncol_packed=ncol, _mode=mode,
+                        )
+
+                    def body(_, fs):
+                        out = step(fs)
+                        fs = dict(fs)
+                        fs["col"] = fs["col"] + 0.0 * \
+                            out.prainfrac_toprfz.reshape(1, -1, 128)
+                        return fs
+
+                    chained = jax.jit(
+                        lambda fs: jax.lax.fori_loop(0, a.iters, body, fs)["col"]
+                    )
+                    try:
+                        t0 = time.perf_counter()
+                        _sync(chained(packed))
+                        compile_s = time.perf_counter() - t0
+                        best = float("inf")
+                        for _ in range(4):
+                            t0 = time.perf_counter()
+                            _sync(chained(packed))
+                            best = min(best, time.perf_counter() - t0)
+                    except Exception as e:
+                        print(f"ngptot={ngptot} sb={sb} lps={lps} {mode}: "
+                              f"FAILED {type(e).__name__}: {str(e)[:200]}",
+                              flush=True)
+                        continue
+                    per_iter = max(best - floor_s, 1e-9) / a.iters
+                    cols_s = ncol / per_iter
+                    rec = dict(ngptot=ngptot, sb=sb, lps=lps, mode=mode,
+                               skip=skip,
+                               ms_per_step=round(per_iter * 1e3, 3),
+                               cols_per_s=round(cols_s, 0),
+                               compile_s=round(compile_s, 1))
+                    results.append(rec)
+                    print(json.dumps(rec), flush=True)
+
+    if a.out:
+        Path(a.out).write_text(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

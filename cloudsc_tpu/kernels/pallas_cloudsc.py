@@ -27,6 +27,7 @@ their writes are masked.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -159,7 +160,7 @@ _OHALF_ROWS = ("pfsqlf", "pfsqif", "pfcqlng", "pfcqnng", "pfsqrf", "pfsqsf",
 _OH = {name: i for i, name in enumerate(_OHALF_ROWS)}
 
 
-def _kernel(c, nlev, ktop, packed, lps, *refs):
+def _kernel(c, nlev, ktop, packed, lps, mode, *refs):
     aer = _aer_rows(c)
     nin = 5 if packed else len(_IN_STREAMED) + 3 + 2 + 2 + 4 + len(aer)
     ins, outs, scr = refs[:nin], refs[nin:-1], refs[-1]
@@ -170,6 +171,24 @@ def _kernel(c, nlev, ktop, packed, lps, *refs):
 
     k2 = pl.program_id(1)
     zqtmst, ptsphy = c.zqtmst, c.ptsphy
+
+    if mode not in ("full", "resident"):
+        # diagnostic bodies (bench/kernel_lab.py): identical BlockSpecs and
+        # I/O volume, degenerate compute — the streaming-floor / section-1
+        # probes used to attribute step time to DMA vs VPU
+        for sub in range(lps):
+            raw, _, _, _ = _unpack_inputs(ins, packed, aer, sub, lps)
+            if mode == "floor":
+                v = raw["pt"] + raw["pq"]
+            else:  # "init": section-1 compute only
+                ini = scheme.level_init(raw, c)
+                v = ini["ztp1"] + ini["zqsmix"] + ini["zfokoop"] + ini["zli"]
+            for j in range(len(_OLEV_ROWS)):
+                o_lev[sub, j] = v
+            for j in range(len(_OHALF_ROWS)):
+                o_half[sub, j] = v
+        o_prainfrac[...] = v
+        return
 
     @pl.when(k2 == 0)
     def _init():
@@ -326,15 +345,26 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
         scr[_S_A_ITUR] = scr[_S_A_ITUR] + raw["pvfi"] * ptsphy * zgdph_r
 
 
+def _lps_for(nlev: int) -> int:
+    """Levels integrated per grid step (packed mode): the largest divisor of
+    nlev+1 not exceeding CLOUDSC_PALLAS_LPS (default 2). More levels per step
+    amortize DMA issue and pipeline overhead at the cost of VMEM block size."""
+    req = int(os.environ.get("CLOUDSC_PALLAS_LPS", "2"))
+    for cand in range(max(1, min(req, nlev + 1)), 0, -1):
+        if (nlev + 1) % cand == 0:
+            return cand
+    return 1
+
+
 def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
-           packed=False, config=None):
+           packed=False, config=None, mode="full"):
     c = scheme.derived_consts(params, ptsphy, dtype, config)
     ktop = c.NCLDTOP - 1
     SB = sublanes
     ni = nblk // SB
-    # packed mode integrates 2 levels per grid step (the nlev+1 half-levels
-    # split exactly; the input pack is padded by one edge row)
-    lps = 2 if (packed and (nlev + 1) % 2 == 0) else 1
+    # packed mode integrates `lps` levels per grid step (the nlev+1
+    # half-levels split exactly; the input pack is padded by one edge row)
+    lps = _lps_for(nlev) if packed else 1
     nk2 = (nlev + 1) // lps
     grid = (ni, nk2)
 
@@ -380,20 +410,39 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         # the lookahead blocks carry ONE row — the level right after this
         # step's lps levels (only the last sub-level needs it)
         look = lambda k: jnp.minimum(lps * (k + 1), nlev)
-        in_specs = [
-            pl.BlockSpec((lps, nrows, SB, LANES),
-                         lambda i, k: (k, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, SB, LANES),
-                         lambda i, k: (look(k), 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((lps, SB, LANES), lambda i, k: (k, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SB, LANES), lambda i, k: (look(k), i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, SB, LANES), lambda i, k: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        if mode == "resident":
+            # diagnostic: constant block windows -> the pipeline skips
+            # refetches -> full compute with ~zero HBM streaming
+            look = lambda k: 0
+            in_specs = [
+                pl.BlockSpec((lps, nrows, SB, LANES),
+                             lambda i, k: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, SB, LANES),
+                             lambda i, k: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((lps, SB, LANES), lambda i, k: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SB, LANES), lambda i, k: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, SB, LANES), lambda i, k: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            in_specs = [
+                pl.BlockSpec((lps, nrows, SB, LANES),
+                             lambda i, k: (k, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, SB, LANES),
+                             lambda i, k: (look(k), 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((lps, SB, LANES), lambda i, k: (k, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SB, LANES), lambda i, k: (look(k), i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, SB, LANES), lambda i, k: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
     else:
         in_specs = (
             [spec_streamed() for _ in _IN_STREAMED]
@@ -432,7 +481,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         jax.ShapeDtypeStruct((nblk, LANES), f),
     ]
 
-    kernel = functools.partial(_kernel, c, nlev, ktop, packed, lps)
+    kernel = functools.partial(_kernel, c, nlev, ktop, packed, lps, mode)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -452,10 +501,18 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
     (nlev, ncol) — do this once outside the hot loop; cloudsc_pallas with
     packed inputs then issues a single input DMA per grid step. `params` and
     `config` determine the extra aerosol rows (layout must match the kernel's
-    derived_consts flags)."""
+    derived_consts flags).
+
+    Runs entirely on HOST (numpy) when the fields are numpy arrays — large
+    benchmark sizes must not hold the field dict AND the pack on device
+    simultaneously (that transient is what exhausted HBM above ~200K columns);
+    the caller device_puts the returned pytree once."""
+    import numpy as np
+
     pt = fields["pt"]
+    xp = np if isinstance(pt, np.ndarray) else jnp
     nlev, ncol = pt.shape
-    shp, nblk, _ = _shaper(fields, sublanes)
+    shp, nblk, _ = _shaper(fields, sublanes, xp)
     dtype = pt.dtype
     rows = []
     for name in _PACK_ROWS:
@@ -471,27 +528,28 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
 
     def pad_lev(a):
         # one edge-replicated level row so nlev+1 rows split into whole
-        # 2-level blocks (only read behind NCLDTOP masks / never read)
-        if (nlev + 1) % 2 == 0:
-            return jnp.concatenate([a, a[-1:]], axis=0)
+        # lps-level blocks (only read behind NCLDTOP masks / never read)
+        if _lps_for(nlev) > 1:
+            return xp.concatenate([a, a[-1:]], axis=0)
         return a
 
-    pack = pad_lev(shp(jnp.stack([r.astype(dtype) for r in rows], axis=1)))
-    nxt = pad_lev(shp(jnp.stack(
-        [fields["pmfu"], fields["pmfd"], fields["plu"]], axis=1
+    pack = pad_lev(shp(xp.stack([xp.asarray(r, dtype) for r in rows], axis=1)))
+    nxt = pad_lev(shp(xp.stack(
+        [xp.asarray(fields["pmfu"], dtype), xp.asarray(fields["pmfd"], dtype),
+         xp.asarray(fields["plu"], dtype)], axis=1
     )))
-    paph = shp(fields["paph"])
-    col = shp(jnp.stack([
-        fields["plsm"].astype(dtype),
-        fields["ldcum"].astype(dtype),
-        fields["ktype"].astype(dtype),
-        fields["paph"][nlev].astype(dtype),
+    paph = shp(xp.asarray(fields["paph"], dtype))
+    col = shp(xp.stack([
+        xp.asarray(fields["plsm"], dtype),
+        xp.asarray(fields["ldcum"], dtype),
+        xp.asarray(fields["ktype"], dtype),
+        xp.asarray(fields["paph"][nlev], dtype),
     ]))
     # ncol is carried OUTSIDE the arrays (static under jit/fori_loop)
     return dict(pack=pack, nxt=nxt, paph=paph, col=col), ncol
 
 
-def _shaper(fields: dict, sublanes: int):
+def _shaper(fields: dict, sublanes: int, xp=jnp):
     """(shp fn, nblk, target): pad columns to the tile and fold to lanes."""
     ncol = fields["pt"].shape[-1]
     tile = sublanes * LANES
@@ -501,7 +559,7 @@ def _shaper(fields: dict, sublanes: int):
     def shp(a):  # (..., ncol) -> (..., nblk, LANES)
         if target != ncol:
             pad = [(0, 0)] * (a.ndim - 1) + [(0, target - ncol)]
-            a = jnp.pad(a, pad, mode="edge")
+            a = xp.pad(a, pad, mode="edge")
         return a.reshape(a.shape[:-1] + (nblk, LANES))
 
     return shp, nblk, target
@@ -510,7 +568,7 @@ def _shaper(fields: dict, sublanes: int):
 def cloudsc_pallas(fields: dict, params, ptsphy: float,
                    sublanes: int = 32, interpret: bool = False,
                    packed=False, ncol_packed: int | None = None,
-                   config=None) -> CloudscOutputs:
+                   config=None, _mode: str = "full") -> CloudscOutputs:
     """Run the fused kernel; same contract as physics.cloudsc (jit-able).
 
     Columns are padded (edge-replicated so padded lanes stay finite) to a
@@ -533,7 +591,7 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
             ncol = target
         args = [p["pack"], p["nxt"], p["paph"], p["paph"], p["col"]]
         call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
-                      packed=True, config=config)
+                      packed=True, config=config, mode=_mode)
         res = call(*args)
         return _assemble(res, nblk, ncol, target)
 

@@ -55,10 +55,18 @@ class CloudscOutputs(NamedTuple):
     tendency_loc_cld: jax.Array   # (nclv, nlev, ncol) — vapour slot zero
 
 
-def make_inputs(inp, dtype=jnp.float64) -> dict:
-    """Convert a loaded InputData into the jnp field dict cloudsc() consumes."""
+def make_inputs(inp, dtype=jnp.float64, host: bool = False) -> dict:
+    """Convert a loaded InputData into the field dict cloudsc() consumes.
+
+    host=True keeps the arrays in numpy (no device transfer) — used by the
+    packed-storage path so the pack is built host-side and only the packed
+    buffers ever reach HBM (the field dict + pack coexisting on device is
+    what exhausted memory above ~200K columns)."""
+    import numpy as np
+
+    xp = np if host else jnp
     f = inp.fields
-    cast = lambda name: jnp.asarray(f[name], dtype=dtype)
+    cast = lambda name: xp.asarray(f[name], dtype=dtype)
     return {
         "pt": cast("PT"), "pq": cast("PQ"),
         "tendency_tmp_t": cast("TENDENCY_TMP_T"),
@@ -70,8 +78,8 @@ def make_inputs(inp, dtype=jnp.float64) -> dict:
         "phrsw": cast("PHRSW"), "phrlw": cast("PHRLW"),
         "pvervel": cast("PVERVEL"), "pap": cast("PAP"), "paph": cast("PAPH"),
         "plsm": cast("PLSM"),
-        "ldcum": jnp.asarray(f["LDCUM"], dtype=bool),
-        "ktype": jnp.asarray(f["KTYPE"], dtype=jnp.int32),
+        "ldcum": xp.asarray(f["LDCUM"], dtype=bool),
+        "ktype": xp.asarray(f["KTYPE"], dtype="int32"),
         "plu": cast("PLU"), "plude": cast("PLUDE"), "psnde": cast("PSNDE"),
         "pmfu": cast("PMFU"), "pmfd": cast("PMFD"),
         "pa": cast("PA"), "pclv": cast("PCLV"), "psupsat": cast("PSUPSAT"),

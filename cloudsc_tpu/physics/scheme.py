@@ -141,6 +141,15 @@ def derived_consts(params, ptsphy: float, dtype,
     c.zepsilon = 100.0 * float(jnp.finfo(dtype).eps)
     c.zvqx = (0.0, e.rvice, e.rvrain, e.rvsnow, 0.0)  # fall speed per species
     c.dtype = dtype
+
+    # DIAGNOSTICS ONLY (bench/kernel_lab.py): trace-time section skipping to
+    # attribute VPU time per physics section. Empty in production — any tag
+    # here makes the physics wrong by construction.
+    import os
+
+    c.skip = frozenset(
+        t for t in os.environ.get("CLOUDSC_SCHEME_SKIP", "").split(",") if t
+    )
     return c
 
 
@@ -348,21 +357,22 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
 
     has_sup = zsupsat > ZEPSEC
     warm = ztp1 > e.rthomo
-    for m, w in ((IL, warm), (II, ~warm)):
-        amt = madd(has_sup & w, zsupsat)
-        solqa[m][IV] = sadd(solqa[m][IV], amt)
-        solqa[IV][m] = sadd(solqa[IV][m], -amt)
-        zqxfg[m] = zqxfg[m] + amt
-    solac = jnp.where(has_sup, (1.0 - za) * zfaci, solac)
+    if "s31" not in c.skip:
+        for m, w in ((IL, warm), (II, ~warm)):
+            amt = madd(has_sup & w, zsupsat)
+            solqa[m][IV] = sadd(solqa[m][IV], amt)
+            solqa[IV][m] = sadd(solqa[IV][m], -amt)
+            zqxfg[m] = zqxfg[m] + amt
+        solac = jnp.where(has_sup, (1.0 - za) * zfaci, solac)
 
-    psupsat = x["psupsat"]
-    has_ps = psupsat > ZEPSEC
-    for m, w in ((IL, warm), (II, ~warm)):
-        amt = madd(has_ps & w, psupsat)
-        solqa[m][m] = sadd(solqa[m][m], amt)
-        zpsupsatsrce[m] = amt
-        zqxfg[m] = zqxfg[m] + amt
-    solac = jnp.where(has_ps, (1.0 - za) * zfaci, solac)
+        psupsat = x["psupsat"]
+        has_ps = psupsat > ZEPSEC
+        for m, w in ((IL, warm), (II, ~warm)):
+            amt = madd(has_ps & w, psupsat)
+            solqa[m][m] = sadd(solqa[m][m], amt)
+            zpsupsatsrce[m] = amt
+            zqxfg[m] = zqxfg[m] + amt
+        solac = jnp.where(has_ps, (1.0 - za) * zfaci, solac)
 
     # ---- 3.2 detrainment from convection (ref: 1100-1127) -----------
     plude_scaled = x["plude_in"] * zdtgdp
@@ -386,23 +396,24 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zmf = jnp.maximum(0.0, (x["pmfu"] + x["pmfd"]) * zdtgdp)
     zacust = zmf * carry["zanewm1"]
     zlcust = [None] * NCLV
-    for m in (IL, II):
-        zlcust[m] = madd(not_first, zmf * carry["zqxnm1"][m])
-        zconvsrce[m] = sadd(zconvsrce[m], zlcust[m])
-    zdtdp = zrdcp * 0.5 * (x["ztp1_prev"] + ztp1) / paph
-    zdtforc = zdtdp * (pap - x["pap_prev"])
-    zdqs_sub = carry["zanewm1"] * zdtforc * zdqsmixdt
-    zlfinalsum = zero
-    for m in (IL, II):
-        zlfinal = jnp.maximum(0.0, zlcust[m] - zdqs_sub)
-        zevap = jnp.minimum(zlcust[m] - zlfinal, zevaplimmix)
-        zlfinal = zlcust[m] - zevap
-        zlfinalsum = zlfinalsum + madd(not_first, zlfinal)
-        solqa[m][m] = sadd(solqa[m][m], madd(not_first, zlcust[m]))
-        solqa[IV][m] = sadd(solqa[IV][m], madd(not_first, zevap))
-        solqa[m][IV] = sadd(solqa[m][IV], -madd(not_first, zevap))
-    zacust = jnp.where(zlfinalsum < ZEPSEC, 0.0, zacust)
-    solac = solac + madd(not_first, zacust)
+    if "s33" not in c.skip:
+        for m in (IL, II):
+            zlcust[m] = madd(not_first, zmf * carry["zqxnm1"][m])
+            zconvsrce[m] = sadd(zconvsrce[m], zlcust[m])
+        zdtdp = zrdcp * 0.5 * (x["ztp1_prev"] + ztp1) / paph
+        zdtforc = zdtdp * (pap - x["pap_prev"])
+        zdqs_sub = carry["zanewm1"] * zdtforc * zdqsmixdt
+        zlfinalsum = zero
+        for m in (IL, II):
+            zlfinal = jnp.maximum(0.0, zlcust[m] - zdqs_sub)
+            zevap = jnp.minimum(zlcust[m] - zlfinal, zevaplimmix)
+            zlfinal = zlcust[m] - zevap
+            zlfinalsum = zlfinalsum + madd(not_first, zlfinal)
+            solqa[m][m] = sadd(solqa[m][m], madd(not_first, zlcust[m]))
+            solqa[IV][m] = sadd(solqa[IV][m], madd(not_first, zevap))
+            solqa[m][IV] = sadd(solqa[m][IV], -madd(not_first, zevap))
+        zacust = jnp.where(zlfinalsum < ZEPSEC, 0.0, zacust)
+        solac = solac + madd(not_first, zacust)
 
     # subsidence sink to layer below (ref: 1201-1217)
     zmfdn = madd(
@@ -427,11 +438,12 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zleros = jnp.minimum(zleros, zevaplimmix)
     zleros = jnp.minimum(zleros, x["zli"])
     zaeros = zleros / jnp.where(has_cld, zlicld, 1.0)
-    solac = solac - madd(has_cld, zaeros)
-    for m, frac in ((IL, x["zliqfrac"]), (II, x["zicefrac"])):
-        amt = madd(has_cld, frac * zleros)
-        solqa[IV][m] = sadd(solqa[IV][m], amt)
-        solqa[m][IV] = sadd(solqa[m][IV], -amt)
+    if "s34e" not in c.skip:
+        solac = solac - madd(has_cld, zaeros)
+        for m, frac in ((IL, x["zliqfrac"]), (II, x["zicefrac"])):
+            amt = madd(has_cld, frac * zleros)
+            solqa[IV][m] = sadd(solqa[IV][m], amt)
+            solqa[m][IV] = sadd(solqa[m][IV], -amt)
 
     # ---- 3.4b condensation/evaporation from dqsat/dt (ref: 1281-1325)
     zdtdp = zrdcp * ztp1 / pap
@@ -465,10 +477,11 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zlevap = za * jnp.minimum(zdqs, zlicld)
     zlevap = jnp.minimum(zlevap, zevaplimmix)
     zlevap = jnp.minimum(zlevap, jnp.maximum(zqsmix - zqx[IV], 0.0))
-    for m, frac in ((IL, x["zliqfrac"]), (II, x["zicefrac"])):
-        amt = madd(evap_m, frac * zlevap)
-        solqa[IV][m] = sadd(solqa[IV][m], amt)
-        solqa[m][IV] = sadd(solqa[m][IV], -amt)
+    if "s34c" not in c.skip:
+        for m, frac in ((IL, x["zliqfrac"]), (II, x["zicefrac"])):
+            amt = madd(evap_m, frac * zlevap)
+            solqa[IV][m] = sadd(solqa[IV][m], amt)
+            solqa[m][IV] = sadd(solqa[m][IV], -amt)
 
     # 3.4b(1) increase of cloud water in existing clouds (ref: 1362-1396)
     c1m = (za > ZEPSEC) & (zdqs <= -e.rlmin)
@@ -483,11 +496,12 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zlcond1 = jnp.maximum(jnp.minimum(zlcond1, zcdmax), 0.0)
     zlcond1 = za * zlcond1
     zlcond1 = jnp.where(zlcond1 < e.rlmin, 0.0, zlcond1)
-    for m, w in ((IL, warm), (II, ~warm)):
-        amt = madd(c1m & w, zlcond1)
-        solqa[m][IV] = sadd(solqa[m][IV], amt)
-        solqa[IV][m] = sadd(solqa[IV][m], -amt)
-        zqxfg[m] = zqxfg[m] + amt
+    if "s34c" not in c.skip:
+        for m, w in ((IL, warm), (II, ~warm)):
+            amt = madd(c1m & w, zlcond1)
+            solqa[m][IV] = sadd(solqa[m][IV], amt)
+            solqa[IV][m] = sadd(solqa[IV][m], -amt)
+            zqxfg[m] = zqxfg[m] + amt
 
     # 3.4b(2) generation of new clouds (ref: 1400-1499)
     c2m = (zdqs <= -e.rlmin) & (za < 1.0 - ZEPSEC)
@@ -522,12 +536,13 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     kill = (zlcond2 < e.rlmin) | ((1.0 - za) < ZEPSEC)
     zlcond2 = jnp.where(kill, 0.0, zlcond2)
     zacond = jnp.where(kill | (zlcond2 == 0.0), 0.0, zacond)
-    solac = solac + madd(c2m, zacond)
-    for m, w in ((IL, warm), (II, ~warm)):
-        amt = madd(c2m & w, zlcond2)
-        solqa[m][IV] = sadd(solqa[m][IV], amt)
-        solqa[IV][m] = sadd(solqa[IV][m], -amt)
-        zqxfg[m] = zqxfg[m] + amt
+    if "s34c" not in c.skip:
+        solac = solac + madd(c2m, zacond)
+        for m, w in ((IL, warm), (II, ~warm)):
+            amt = madd(c2m & w, zlcond2)
+            solqa[m][IV] = sadd(solqa[m][IV], amt)
+            solqa[IV][m] = sadd(solqa[IV][m], -amt)
+            zqxfg[m] = zqxfg[m] + amt
 
     # ---- 3.7 ice deposition -------------------------------------------
     # cloud-top distance carry, shared by both schemes (ref: 1529-1533)
@@ -584,11 +599,12 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zdepos = jnp.minimum(zdepos, zqxfg[IL])
     # cloud-top reduction for turbulence/nucleation/fallout (ref: 1581-1586)
     zdepos = zdepos * ztopred
-    amt = madd(dep_m, zdepos)
-    solqa[II][IL] = sadd(solqa[II][IL], amt)
-    solqa[IL][II] = sadd(solqa[IL][II], -amt)
-    zqxfg[II] = zqxfg[II] + amt
-    zqxfg[IL] = zqxfg[IL] - amt
+    if "s37" not in c.skip:
+        amt = madd(dep_m, zdepos)
+        solqa[II][IL] = sadd(solqa[II][IL], amt)
+        solqa[IL][II] = sadd(solqa[IL][II], -amt)
+        zqxfg[II] = zqxfg[II] + amt
+        zqxfg[IL] = zqxfg[IL] - amt
 
     # ==============================================================
     # 4. PRECIPITATION PROCESSES
@@ -638,7 +654,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     else:
         zlcrit = e.rlcritsnow
     zsnowaut = zzco * (1.0 - jnp.exp(-((zicecld / zlcrit) ** 2)))
-    solqb[IS][II] = sadd(solqb[IS][II], madd(snow_m, zsnowaut))
+    if "s43a" not in c.skip:
+        solqb[IS][II] = sadd(solqb[IS][II], madd(snow_m, zsnowaut))
 
     # 4.3b warm-rain autoconversion/accretion (ref: 1819-1927)
     liq_m = zliqcld > ZEPSEC
@@ -696,12 +713,13 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         zrainaut = jnp.where(above, zrainaut, 0.0)
         zrainacc = jnp.where(above, zrainacc, 0.0)
         cold = ztp1 <= RTT
-        for dst, sel_c in ((IS, cold), (IR, ~cold)):
-            mm = liq_m & sel_c
-            solqa[dst][IL] = sadd(solqa[dst][IL], madd(mm, zrainaut))
-            solqa[dst][IL] = sadd(solqa[dst][IL], madd(mm, zrainacc))
-            solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainaut))
-            solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainacc))
+        if "s43b" not in c.skip:
+            for dst, sel_c in ((IS, cold), (IR, ~cold)):
+                mm = liq_m & sel_c
+                solqa[dst][IL] = sadd(solqa[dst][IL], madd(mm, zrainaut))
+                solqa[dst][IL] = sadd(solqa[dst][IL], madd(mm, zrainacc))
+                solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainaut))
+                solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainacc))
     else:
         raise NotImplementedError(f"IWARMRAIN={c.IWARMRAIN} unknown")
 
@@ -715,7 +733,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         * rime_base ** e.rcl_const8s
     )
     zsnowrime = jnp.minimum(zsnowrime, 1.0)
-    solqb[IS][IL] = sadd(solqb[IS][IL], madd(rime2, zsnowrime))
+    if "s43c" not in c.skip:
+        solqb[IS][IL] = sadd(solqb[IS][IL], madd(rime2, zsnowrime))
 
     # 4.4a melting of snow and ice (ref: 1990-2034)
     zicetot = zqxfg[II] + zqxfg[IS]
@@ -726,16 +745,17 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     )
     zcons1 = jnp.abs(ptsphy * (1.0 + 0.5 * ztdmtw0) / e.rtaumel)
     zmeltmax = madd(melt_m, jnp.maximum(ztdmtw0 * zcons1 * zrldcp, 0.0))
-    for m in (II, IS):
-        n = IMELT[m]
-        mm = (zmeltmax > ZEPSEC) & (zicetot > ZEPSEC)
-        zalfa_m = zqxfg[m] / jnp.where(mm, zicetot, 1.0)
-        zmelt = jnp.minimum(zqxfg[m], zalfa_m * zmeltmax)
-        amt = madd(mm, zmelt)
-        zqxfg[m] = zqxfg[m] - amt
-        zqxfg[n] = zqxfg[n] + amt
-        solqa[n][m] = sadd(solqa[n][m], amt)
-        solqa[m][n] = sadd(solqa[m][n], -amt)
+    if "s44a" not in c.skip:
+        for m in (II, IS):
+            n = IMELT[m]
+            mm = (zmeltmax > ZEPSEC) & (zicetot > ZEPSEC)
+            zalfa_m = zqxfg[m] / jnp.where(mm, zicetot, 1.0)
+            zmelt = jnp.minimum(zqxfg[m], zalfa_m * zmeltmax)
+            amt = madd(mm, zmelt)
+            zqxfg[m] = zqxfg[m] - amt
+            zqxfg[n] = zqxfg[n] + amt
+            solqa[n][m] = sadd(solqa[n][m], amt)
+            solqa[m][n] = sadd(solqa[m][n], -amt)
 
     # 4.4b freezing of rain (ref: 2039-2094)
     rain_p = zqx[IR] > ZEPSEC
@@ -760,17 +780,19 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zfrzmax = jnp.where(llrainliq, zfrzmax_liq, zfrzmax_mix)
     frz_m = frz_cold & (zfrzmax > ZEPSEC)
     zfrz = jnp.minimum(zqx[IR], zfrzmax)
-    amt = madd(frz_m, zfrz)
-    solqa[IS][IR] = sadd(solqa[IS][IR], amt)
-    solqa[IR][IS] = sadd(solqa[IR][IS], -amt)
+    if "s44b" not in c.skip:
+        amt = madd(frz_m, zfrz)
+        solqa[IS][IR] = sadd(solqa[IS][IR], amt)
+        solqa[IR][IS] = sadd(solqa[IR][IS], -amt)
 
     # 4.4c freezing of liquid (ref: 2099-2112)
     zfrzmax = jnp.maximum((e.rthomo - ztp1) * zrldcp, 0.0)
     frz_m = (zfrzmax > ZEPSEC) & (zqxfg[IL] > ZEPSEC)
     zfrz = jnp.minimum(zqxfg[IL], zfrzmax)
-    amt = madd(frz_m, zfrz)
-    solqa[II][IL] = sadd(solqa[II][IL], amt)
-    solqa[IL][II] = sadd(solqa[IL][II], -amt)
+    if "s44c" not in c.skip:
+        amt = madd(frz_m, zfrz)
+        solqa[II][IL] = sadd(solqa[II][IL], amt)
+        solqa[IL][II] = sadd(solqa[IL][II], -amt)
 
     # 4.5 rain evaporation (ref: 2114-2281)
     if c.IEVAPRAIN == 1:  # Sundqvist scheme (ref: 2121-2184)
@@ -856,22 +878,24 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         zdenom = 1.0 + zbeta * ptsphy
         zdpevap = zcovpclr * zbeta * ptsphy * zsubsat / zdenom
         zevap = jnp.minimum(zdpevap, zqxfg[IR])
-        amt = madd(llo1, zevap)
-        solqa[IV][IR] = sadd(solqa[IV][IR], amt)
-        solqa[IR][IV] = sadd(solqa[IR][IV], -amt)
-        zcovptot = jnp.where(
-            llo1,
-            jnp.maximum(
-                e.rcovpmin,
-                zcovptot
-                - jnp.maximum(
-                    0.0,
-                    (zcovptot - za) * zevap / jnp.where(llo1, zqxfg[IR], 1.0),
+        if "s45r" not in c.skip:
+            amt = madd(llo1, zevap)
+            solqa[IV][IR] = sadd(solqa[IV][IR], amt)
+            solqa[IR][IV] = sadd(solqa[IR][IV], -amt)
+            zcovptot = jnp.where(
+                llo1,
+                jnp.maximum(
+                    e.rcovpmin,
+                    zcovptot
+                    - jnp.maximum(
+                        0.0,
+                        (zcovptot - za) * zevap
+                        / jnp.where(llo1, zqxfg[IR], 1.0),
+                    ),
                 ),
-            ),
-            zcovptot,
-        )
-        zqxfg[IR] = zqxfg[IR] - amt
+                zcovptot,
+            )
+            zqxfg[IR] = zqxfg[IR] - amt
     else:
         raise NotImplementedError(f"IEVAPRAIN={c.IEVAPRAIN} unknown")
 
@@ -903,22 +927,24 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         zdpr = zcovpclr * zbeta * (zqsice - zqe) / zdenom * zdp * zrg_r
         zdpevap = zdpr * zdtgdp
         zevap = jnp.minimum(zdpevap, zqxfg[IS])
-        amt = madd(llo1, zevap)
-        solqa[IV][IS] = sadd(solqa[IV][IS], amt)
-        solqa[IS][IV] = sadd(solqa[IS][IV], -amt)
-        zcovptot = jnp.where(
-            llo1,
-            jnp.maximum(
-                e.rcovpmin,
-                zcovptot
-                - jnp.maximum(
-                    0.0,
-                    (zcovptot - za) * zevap / jnp.where(llo1, zqxfg[IS], 1.0),
+        if "s45s" not in c.skip:
+            amt = madd(llo1, zevap)
+            solqa[IV][IS] = sadd(solqa[IV][IS], amt)
+            solqa[IS][IV] = sadd(solqa[IS][IV], -amt)
+            zcovptot = jnp.where(
+                llo1,
+                jnp.maximum(
+                    e.rcovpmin,
+                    zcovptot
+                    - jnp.maximum(
+                        0.0,
+                        (zcovptot - za) * zevap
+                        / jnp.where(llo1, zqxfg[IS], 1.0),
+                    ),
                 ),
-            ),
-            zcovptot,
-        )
-        zqxfg[IS] = zqxfg[IS] - amt
+                zcovptot,
+            )
+            zqxfg[IS] = zqxfg[IS] - amt
     elif c.IEVAPSNOW == 2:  # PSD-based sublimation (ref: 2349-2419)
         zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
             ZEPSEC, 1.0 - za
@@ -975,10 +1001,11 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         raise NotImplementedError(f"IEVAPSNOW={c.IEVAPSNOW} unknown")
 
     # 4.6 evaporate small precipitation amounts (ref: 2426-2435)
-    for m in (IR, IS):
-        small = zqxfg[m] < e.rlmin
-        solqa[IV][m] = sadd(solqa[IV][m], madd(small, zqxfg[m]))
-        solqa[m][IV] = sadd(solqa[m][IV], -madd(small, zqxfg[m]))
+    if "s46" not in c.skip:
+        for m in (IR, IS):
+            small = zqxfg[m] < e.rlmin
+            solqa[IV][m] = sadd(solqa[IV][m], madd(small, zqxfg[m]))
+            solqa[m][IV] = sadd(solqa[m][IV], -madd(small, zqxfg[m]))
 
     # ==============================================================
     # 5.1 cloud-fraction solver (ref: 2446-2455)
@@ -1046,9 +1073,16 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         for m in range(NCLV)
     ]
     one = jnp.ones_like(ztp1)
-    ratio_fin = [one for _ in range(NCLV)]
+    # Round 0 reuses the ordering ratio: with every ratio_fin still 1 the
+    # round-0 sink recompute is term-for-term (and summation-order) identical
+    # to zsinksum, so the first-selected species' factor IS zratio — bitwise.
+    # (ref: 2543-2560 recompute the same plain sum the ordering used at
+    # 2481-2498.) Rounds 1..NCLV-1 remain data-dependent.
+    ratio_fin = [
+        jnp.where(rank[m] == 0, zratio[m], one) for m in range(NCLV)
+    ]
     zmaxe = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
-    for round_i in range(NCLV):
+    for round_i in range(1, NCLV):
         new_ratio = []
         for m in range(NCLV):
             sink = None
@@ -1064,16 +1098,17 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             ratio_fin[m] = jnp.where(
                 rank[m] == round_i, new_ratio[m], ratio_fin[m]
             )
-    for m in range(NCLV):
-        for n in range(NCLV):
-            if solqa[m][n] is None:
-                continue
-            v = solqa[m][n]
-            if neg0[m][n] is not None:
-                v = v * jnp.where(neg0[m][n], ratio_fin[m], 1.0)
-            if neg0[n][m] is not None:
-                v = v * jnp.where(neg0[n][m], ratio_fin[n], 1.0)
-            solqa[m][n] = v
+    if "s521" not in c.skip:
+        for m in range(NCLV):
+            for n in range(NCLV):
+                if solqa[m][n] is None:
+                    continue
+                v = solqa[m][n]
+                if neg0[m][n] is not None:
+                    v = v * jnp.where(neg0[m][n], ratio_fin[m], 1.0)
+                if neg0[n][m] is not None:
+                    v = v * jnp.where(neg0[n][m], ratio_fin[n], 1.0)
+                solqa[m][n] = v
 
     # ==============================================================
     # 5.2.2 implicit 5x5 solve (LHS build + non-pivoting LU,
@@ -1097,28 +1132,29 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     ]
     # non-pivoting recursive factorization (ref: 2640-2650); eliminating a
     # structural zero is a no-op, so the sparse skip is value-exact
-    for jn in range(NCLV - 1):
-        for jm in range(jn + 1, NCLV):
-            if qlhs[jm][jn] is None:
-                continue
-            qlhs[jm][jn] = qlhs[jm][jn] / qlhs[jn][jn]
-            for ik in range(jn + 1, NCLV):
-                if qlhs[jn][ik] is None:
+    if "s522" not in c.skip:
+        for jn in range(NCLV - 1):
+            for jm in range(jn + 1, NCLV):
+                if qlhs[jm][jn] is None:
                     continue
-                qlhs[jm][ik] = sadd(
-                    qlhs[jm][ik], -(qlhs[jm][jn] * qlhs[jn][ik])
-                )
-    # backsubstitution (ref: 2654-2668)
-    for jn in range(1, NCLV):
-        for jm in range(jn):
-            if qlhs[jn][jm] is not None:
-                zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
-    zqxn[NCLV - 1] = zqxn[NCLV - 1] / qlhs[NCLV - 1][NCLV - 1]
-    for jn in range(NCLV - 2, -1, -1):
-        for jm in range(jn + 1, NCLV):
-            if qlhs[jn][jm] is not None:
-                zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
-        zqxn[jn] = zqxn[jn] / qlhs[jn][jn]
+                qlhs[jm][jn] = qlhs[jm][jn] / qlhs[jn][jn]
+                for ik in range(jn + 1, NCLV):
+                    if qlhs[jn][ik] is None:
+                        continue
+                    qlhs[jm][ik] = sadd(
+                        qlhs[jm][ik], -(qlhs[jm][jn] * qlhs[jn][ik])
+                    )
+        # backsubstitution (ref: 2654-2668)
+        for jn in range(1, NCLV):
+            for jm in range(jn):
+                if qlhs[jn][jm] is not None:
+                    zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
+        zqxn[NCLV - 1] = zqxn[NCLV - 1] / qlhs[NCLV - 1][NCLV - 1]
+        for jn in range(NCLV - 2, -1, -1):
+            for jm in range(jn + 1, NCLV):
+                if qlhs[jn][jm] is not None:
+                    zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
+            zqxn[jn] = zqxn[jn] / qlhs[jn][jn]
 
     # clip small/negative values to vapour (ref: 2673-2680)
     for n in (IL, II, IR, IS):
