@@ -171,6 +171,8 @@ def main(argv=None) -> int:
             f" {timings.h2d_s * 1e3:9.3f} ms | d2h: {timings.d2h_s * 1e3:9.3f} ms |"
             f" compile: {timings.compile_s:7.3f} s"
         )
+        if timings.energy_line:  # EC_PMON (ref: cloudsc_driver_mod.F90:170-178)
+            print(timings.energy_line)
 
     if not args.no_validate:
         ref = load_reference(ref_path, ngptot=ngptot, ngptotg=ngptotg,

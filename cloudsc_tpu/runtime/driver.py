@@ -139,11 +139,13 @@ class CloudscDriver:
         Packed mode returns the packed-storage pytree (pack once, outside the
         hot loop — the FIELD-API buffer build analogue); otherwise the padded
         field dict."""
-        fields = make_inputs(inp, dtype=self.dtype)
         ncol = inp.ngptot
         if self.packed:
             from ..kernels.pallas_cloudsc import pack_inputs
 
+            # pack on HOST: the field dict and the pack must never coexist
+            # in HBM (the transient exhausts memory above ~200K columns)
+            fields = make_inputs(inp, dtype=self.dtype, host=True)
             # on a mesh, pad so every device's shard is a whole tile
             gran = self.sublanes
             if self.mesh is not None:
@@ -151,6 +153,7 @@ class CloudscDriver:
             packed, _ = pack_inputs(fields, gran, self.params,
                                     self.scheme_config)
             return packed, ncol
+        fields = make_inputs(inp, dtype=self.dtype)
         mult = self._pad_multiple()
         target = -(-ncol // mult) * mult
         if target != ncol:
@@ -199,6 +202,13 @@ class CloudscDriver:
         # reference's per-thread rows (ref: timer_mod.F90:169-187)
         ndev = self.mesh.devices.size if self.mesh is not None else 1
         timer = PerformanceTimer(ndevices=ndev)
+        # energy sampling around the hot loop, gated by EC_PMON exactly like
+        # the reference (ref: ec_pmon_mod.F90:14-57, driver samples at
+        # cloudsc_driver_mod.F90:170-178)
+        from .pmon import EnergySampler
+
+        sampler = EnergySampler()
+        sampler.start()
         timer.start()
         t0 = time.perf_counter()
         for _ in range(iterations):
@@ -206,6 +216,7 @@ class CloudscDriver:
         out = sync(out)
         timings.compute_s = (time.perf_counter() - t0) / iterations
         timer.end()
+        timings.energy_line = sampler.stop_and_report()
         per_dev = ncol * iterations // ndev
         for dev in range(ndev):
             timer.log(dev, timings.compute_s * iterations, per_dev)

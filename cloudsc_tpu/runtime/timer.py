@@ -43,6 +43,7 @@ class Timings:
     h2d_s: float = 0.0
     compute_s: float = 0.0
     d2h_s: float = 0.0
+    energy_line: str | None = None  # EC_PMON report (None unless enabled)
 
     @property
     def total_s(self) -> float:
