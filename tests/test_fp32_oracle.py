@@ -1,0 +1,102 @@
+"""The real single-precision guard: fp32 engine vs the fp64 oracle,
+elementwise and distributional.
+
+The golden-relative fp32 tolerances (test_golden.py) are loose by necessity —
+the cumulative flux diagnostics cancel heavily, so errsum/refsum legitimately
+loses digits in single precision. That looseness would also hide a genuine
+fp32-only numerics regression. This guard closes the hole: it compares the
+fp32 engine elementwise against the fp64 oracle on the same input (both run
+the one shared physics body, so any divergence is PRECISION, not physics) and
+pins per-field bounds on
+
+  * the 90th percentile of |fp32 - fp64| / max|fp64|  (systematic error), and
+  * the fraction of elements with error above 1e-3    (branch-flip outliers:
+    an element crossing an RLMIN-style threshold in one precision only flips
+    a physical branch — isolated O(1) diffs are expected, widespread ones are
+    a bug).
+
+Bounds are ~2x the measured round-2 values. The canary test proves the guard
+has teeth: a single float-literal perturbation (R3LES * (1+1e-4), one
+saturation constant) must trip multiple per-field bounds.
+
+(Reference bar for fp64: validate_mod.F90:287-289; the reference never
+validates its SINGLE build at all — CI compiles it without ctest,
+ref: .github/workflows/build.yml:172 — so this guard is new coverage.)
+"""
+
+import copy
+
+import jax
+import numpy as np
+import pytest
+
+from cloudsc_tpu.validate import FIELD_ATTR, VALIDATION_ORDER
+
+# per-field bound on p90(|fp32-fp64|)/scale, ~2x measured (floor 1e-7 for
+# fields whose measured p90 is exactly 0 on this snapshot)
+P90_BOUND = {
+    "PLUDE": 1e-7, "PCOVPTOT": 1.5e-7, "PRAINFRAC_TOPRFZ": 1e-7,
+    "PFSQLF": 6e-6, "PFSQIF": 1.1e-5, "PFCQLNG": 2.5e-8, "PFCQNNG": 4e-9,
+    "PFSQRF": 5.5e-6, "PFSQSF": 1e-5, "PFCQRNG": 2.4e-8, "PFCQSNG": 3e-9,
+    "PFSQLTUR": 6e-9, "PFSQITUR": 1.5e-8,
+    "PFPLSL": 1e-7, "PFPLSN": 3.5e-6, "PFHPSL": 1e-7, "PFHPSN": 3.5e-6,
+    "TENDENCY_LOC%T": 1.5e-5, "TENDENCY_LOC%Q": 1.5e-5,
+    "TENDENCY_LOC%A": 1.8e-6, "TENDENCY_LOC%CLD": 4e-7,
+}
+OUTLIER_FRAC_BOUND = 0.05  # measured <= 0.021
+
+
+def _field_stats(oracle, out32):
+    stats = {}
+    for name, _ in VALIDATION_ORDER:
+        a = np.asarray(getattr(oracle, FIELD_ATTR[name]))
+        b = np.asarray(getattr(out32, FIELD_ATTR[name]), dtype=np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        d = np.abs(a - b) / scale
+        stats[name] = (float(np.percentile(d, 90)), float((d > 1e-3).mean()))
+    return stats
+
+
+@pytest.fixture(scope="module")
+def fp32_run(input_100, params):
+    import jax.numpy as jnp
+
+    from cloudsc_tpu.physics import cloudsc, make_inputs
+
+    fields = make_inputs(input_100, dtype=jnp.float32)
+    return jax.jit(lambda f: cloudsc(f, params, input_100.ptsphy))(fields)
+
+
+def test_fp32_matches_fp64_oracle(golden_outputs_fp64, fp32_run):
+    stats = _field_stats(golden_outputs_fp64, fp32_run)
+    bad = {}
+    for name, (p90, frac) in stats.items():
+        if p90 > P90_BOUND[name] or frac > OUTLIER_FRAC_BOUND:
+            bad[name] = (p90, frac)
+    assert not bad, f"fp32 vs fp64 oracle out of bounds: {bad}"
+
+
+def test_guard_catches_injected_fp32_bug(input_100, params,
+                                         golden_outputs_fp64):
+    """A single perturbed float literal must fail the guard above — this
+    pins the guard's sensitivity so tolerance drift cannot silently
+    re-open the hole."""
+    import jax.numpy as jnp
+
+    from cloudsc_tpu.physics import cloudsc, make_inputs
+
+    bug_params = copy.deepcopy(params)
+    bug_params.ydthf.r3les *= 1.0 + 1e-4  # one wrong literal
+
+    fields = make_inputs(input_100, dtype=jnp.float32)
+    out = jax.jit(
+        lambda f: cloudsc(f, bug_params, input_100.ptsphy)
+    )(fields)
+    stats = _field_stats(golden_outputs_fp64, out)
+    tripped = [
+        name for name, (p90, frac) in stats.items()
+        if p90 > P90_BOUND[name] or frac > OUTLIER_FRAC_BOUND
+    ]
+    assert len(tripped) >= 3, (
+        f"injected fp32 bug only tripped {tripped} — the guard lost its teeth"
+    )
