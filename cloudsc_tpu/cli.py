@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="column blocking factor (padding granularity on TPU)")
     p.add_argument("--precision", choices=("fp32", "fp64"), default=None,
                    help="working precision (default fp64 on CPU, fp32 on TPU)")
+    p.add_argument("--platform", choices=("auto", "cpu"), default="auto",
+                   help="force the JAX platform; 'cpu' is the true-fp64 golden "
+                        "surface (a TPU plugin may override JAX_PLATFORMS, and "
+                        "fp64 emulated on TPU carries ~1e-12 transcendental "
+                        "error that flags the validation table)")
     p.add_argument("--input", default=None,
                    help="input archive: data/ dir or input.h5 (default: reference data)")
     p.add_argument("--reference", default=None,
@@ -71,6 +76,11 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.platform == "cpu":
+        # env JAX_PLATFORMS is not enough: a platform plugin can override it
+        # during import, so pin the platform through the config
+        jax.config.update("jax_platforms", "cpu")
 
     # multi-process init (the CLOUDSC_MPI_INIT analogue) must precede any
     # device query; a no-op unless the launcher set JAX_COORDINATOR_ADDRESS

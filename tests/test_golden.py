@@ -1,10 +1,15 @@
 """Golden-file validation at the reference workload (100 cols x 137 levels).
 
 This is the reference's entire test strategy (golden diff vs reference.h5,
-ref: SURVEY.md section 4): fp64 must match to ~1e-12 relative, fp32 to ~1e-6
-— the tolerances from BASELINE.md. The residual fp64 error floor (~3e-12 on
-the errsum/refsum metric, absolute 1e-16..1e-21) comes from ulp-level libm
-differences between gfortran and XLA.
+ref: SURVEY.md section 4): fp64 on CPU must match at ulp level, fp32 to ~1e-6.
+
+fp64 error attribution (bench/fp64_attribution.py): on CPU the worst field's
+errsum/refsum is 2.4e-15 (PFHPSN) and a 1-ulp perturbation of jnp.exp moves
+the outputs MORE than the observed vs-reference residual — so the residual is
+transcendental-ulp noise between gfortran's and XLA's libm, irreducible by
+op-order changes. The ~1e-12 errors seen when running --precision fp64 on the
+tunneled TPU platform come from its fp64 EMULATION of transcendentals, not
+from this code; the CPU run (cli --platform cpu) is the golden surface.
 """
 
 import jax
@@ -15,7 +20,12 @@ from conftest import relerr
 
 from cloudsc_tpu.validate import FIELD_ATTR, REF_DATASET, VALIDATION_ORDER
 
-FP64_TOL = 5.0e-12
+# ulp-level bar, ~100x tighter than the round-1 back-fitted 5e-12. Measured
+# worst cases: PFHPSN 2.4e-15; PFSQLF/PFSQRF 1.9e-14 — but their absolute
+# errsum is 2e-17, BELOW machine eps (the reference's own metric floors that
+# to zero, ref: validate_mod.F90:273-283), inflated only by a heavily
+# cancelling ~1e-3 refsum.
+FP64_TOL = 5.0e-14
 # fp32 tolerances on the errsum/refsum metric. The cumulative flux diagnostics
 # (PFSQ*/PFCQ*) and the CLD/Q tendencies have tiny reference sums with heavy
 # cancellation, so single precision legitimately loses several digits there;
@@ -58,3 +68,22 @@ def test_golden_fp32(input_100, params, reference_100):
 def test_outputs_finite(golden_outputs_fp64):
     for name, arr in golden_outputs_fp64._asdict().items():
         assert np.isfinite(np.asarray(arr)).all(), f"{name} has non-finite values"
+
+
+def test_golden_fp64_flag_count(golden_outputs_fp64, reference_100):
+    """Pin the validation-table `!!!!` count on the CPU fp64 surface.
+
+    The reference's own reruns show 0 flags (bar: relerr <= 10*eps,
+    ref: validate_mod.F90:287-289, output-example/GNU.haswell.out tail). Our
+    CPU fp64 run sits at the same bar except PFHPSN, whose 2.4e-15 residual
+    marginally exceeds 2.2e-16*10 and is attributed to libm ulp differences
+    (see module docstring). Pinning the count catches silent degradations that
+    would otherwise hide inside a loose tolerance."""
+    from cloudsc_tpu.validate import validate_outputs
+
+    errs = validate_outputs(golden_outputs_fp64,
+                            {k: reference_100[k] for k in
+                             (n.replace("%", "_") for n, _ in VALIDATION_ORDER)},
+                            ngptotg=100, print_table=False)
+    flagged = [e.name for e in errs if e.flagged]
+    assert len(flagged) <= 1, f"fp64 flag count regressed: {flagged}"
