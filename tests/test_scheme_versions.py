@@ -119,3 +119,70 @@ def test_aerosol_couplings_pallas_matches_scan(setup):
         b = np.asarray(getattr(out, name), dtype=np.float64)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
         assert err < 1e-5, f"{name}: {err:.2e}"
+
+
+def _raining_fields(inp, dtype):
+    """Synthetic raining state: the snapshot produces zero rain flux (all
+    precip is snow), so the rain-evaporation scheme switch cannot change its
+    outputs (ref: cloudsc.F90:2121-2279 only acts in the clear-sky precip
+    fraction under falling rain). Seed rain condensate through the warm lower
+    troposphere so sedimentation builds a rain flux that evaporates below."""
+    import jax.numpy as jnp
+
+    fields = dict(make_inputs(inp, dtype=dtype))
+    pclv = np.asarray(fields["pclv"]).copy()
+    nlev = pclv.shape[1]
+    # rain water through levels ~60% depth down to the surface
+    lo = int(nlev * 0.6)
+    pclv[2, lo:, :] = 2.0e-4                     # IR slot of (4, nlev, ncol)
+    fields["pclv"] = jnp.asarray(pclv, dtype=dtype)
+    return fields
+
+
+def test_rain_evap_schemes_diverge_on_raining_input(setup):
+    """ievaprain=1 (Sundqvist, ref: 2121-2184) vs 2 (Abel-Boutle, ref:
+    2190-2279) must produce materially different humidity tendencies once
+    rain actually falls — proves the Sundqvist branch is wired, which the
+    zero-rain snapshot cannot."""
+    import jax.numpy as jnp
+
+    inp, params, _, _ = setup
+    fields = _raining_fields(inp, jnp.float64)
+
+    outs = {}
+    for iev in (1, 2):
+        cfg = SchemeConfig(ievaprain=iev)
+        out = jax.jit(
+            lambda f, c=cfg: cloudsc(f, params, inp.ptsphy, config=c)
+        )(fields)
+        for name, arr in out._asdict().items():
+            assert np.isfinite(np.asarray(arr)).all(), f"{name} iev={iev}"
+        outs[iev] = out
+    # the synthetic rain must actually reach the flux diagnostics
+    assert np.asarray(outs[1].pfplsl).max() > 1.0e-5
+    dq = np.abs(
+        np.asarray(outs[1].tendency_loc_q) - np.asarray(outs[2].tendency_loc_q)
+    ).max()
+    scale = np.abs(np.asarray(outs[2].tendency_loc_q)).max()
+    assert dq > 1.0e-3 * scale, (
+        f"rain-evap alternates indistinguishable: dq={dq:.3e} scale={scale:.3e}"
+    )
+
+
+def test_rain_evap_sundqvist_pallas_matches_scan(setup):
+    """Cross-engine agreement for the Sundqvist branch under real rain (the
+    snapshot never exercises it in either engine)."""
+    import jax.numpy as jnp
+
+    inp, params, _, _ = setup
+    inp512 = load_input(INPUT_PATH, ngptot=512)
+    fields = _raining_fields(inp512, jnp.float32)
+    cfg = SchemeConfig(ievaprain=1)
+    ref = jax.jit(lambda f: cloudsc(f, params, inp512.ptsphy, config=cfg))(fields)
+    out = cloudsc_pallas(fields, params, inp512.ptsphy, sublanes=4,
+                         interpret=True, config=cfg)
+    for name in ref._fields:
+        a = np.asarray(getattr(ref, name), dtype=np.float64)
+        b = np.asarray(getattr(out, name), dtype=np.float64)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 1e-5, f"{name}: {err:.2e}"
