@@ -51,6 +51,11 @@ def _dispatch_floor() -> float:
 def main() -> int:
     import jax
 
+    if os.environ.get("CLOUDSC_BENCH_CPU") == "1":
+        # weak-scaling rehearsal on a virtual CPU mesh (the platform plugin
+        # overrides JAX_PLATFORMS, so the config update is required)
+        jax.config.update("jax_platforms", "cpu")
+
     from cloudsc_tpu.runtime.dist import initialize_multihost
 
     initialize_multihost()  # no-op unless a multi-process launcher set env
@@ -89,9 +94,13 @@ def main() -> int:
     fields, ncol = driver.prepare(inp)
     call = driver.fn_for(ncol)
     if driver.mesh is not None:
-        from cloudsc_tpu.runtime.dist import shard_fields
+        # the packed pytree shards over the column-BLOCK axis (-2), the field
+        # dict over the trailing column axis — mixing them up would "shard"
+        # the 128-lane axis
+        from cloudsc_tpu.runtime.dist import shard_fields, shard_packed
 
-        fields = shard_fields(fields, driver.mesh)
+        sharder = shard_packed if driver.packed else shard_fields
+        fields = sharder(fields, driver.mesh)
     else:
         fields = jax.device_put(fields)
     jax.block_until_ready(fields)

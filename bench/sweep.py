@@ -70,6 +70,57 @@ def run_case(ngptot: int, nproma: int, kernel: str, iterations: int,
     return rec
 
 
+def run_weak_scaling(device_counts, cpu: bool, out_path: str) -> int:
+    """Weak-scaling efficiency over mesh sizes (BASELINE.md: >=90% per-chip
+    at N chips vs 1). Each point runs bench.py with CLOUDSC_BENCH_MESH=1 and
+    the workload scaled with the device count (bench.py does that itself),
+    reporting cols/s PER CHIP. With --cpu the mesh is virtual
+    (xla_force_host_platform_device_count) — the rehearsal mode for this
+    single-chip environment; on a pod slice, run without --cpu.
+    """
+    results = []
+    for ndev in device_counts:
+        env = dict(os.environ, CLOUDSC_BENCH_MESH="1")
+        if cpu:
+            env["CLOUDSC_BENCH_CPU"] = "1"
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={ndev}"
+            ).strip()
+        proc = subprocess.run(
+            [sys.executable, str(ROOT / "bench.py")],
+            capture_output=True, text=True, cwd=ROOT, timeout=1800, env=env,
+        )
+        rec = dict(ndev=ndev, rc=proc.returncode)
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                rec.update(json.loads(line))
+        if proc.returncode != 0:
+            rec["stderr_tail"] = proc.stderr[-500:]
+        results.append(rec)
+        print(f"  ndev={ndev}: {rec.get('value', 'FAILED')} cols/s/chip",
+              flush=True)
+
+    base = next((r["value"] for r in results if r.get("value")), None)
+    hdr = f"{'ndev':>5} {'cols/s/chip':>14} {'efficiency':>11}"
+    print("\n" + hdr + "\n" + "-" * len(hdr))
+    for r in results:
+        v = r.get("value")
+        eff = v / base if (v and base) else float("nan")
+        r["efficiency"] = round(eff, 4) if v and base else None
+        print(f"{r['ndev']:>5} {v if v else -1:>14} {eff:>10.1%}")
+    if cpu:
+        print("\nNOTE: --cpu mesh devices share one host's cores; this run "
+              "validates the sharded path end-to-end, it is NOT an "
+              "efficiency measurement (the >=90% BASELINE.md bar applies to "
+              "a real pod slice, where each mesh device is its own chip).")
+    out = Path(out_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=2))
+    print(f"\nwrote {out}")
+    return 0 if all(r["rc"] == 0 for r in results) else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="CLOUDSC-TPU benchmark sweep")
     p.add_argument("--ngptot", type=int, nargs="+",
@@ -79,7 +130,17 @@ def main(argv=None) -> int:
     p.add_argument("--iterations", type=int, default=3)
     p.add_argument("--validate", action="store_true")
     p.add_argument("--out", default="bench/results.json")
+    p.add_argument("--weak-scaling", type=int, nargs="+", metavar="NDEV",
+                   default=None,
+                   help="weak-scaling mode over these mesh sizes "
+                        "(e.g. --weak-scaling 1 2 4 8)")
+    p.add_argument("--cpu", action="store_true",
+                   help="weak-scaling on a virtual CPU mesh (single-chip "
+                        "rehearsal; omit on a real pod slice)")
     a = p.parse_args(argv)
+
+    if a.weak_scaling:
+        return run_weak_scaling(a.weak_scaling, a.cpu, a.out)
 
     results = []
     for ng, npr, kern in itertools.product(a.ngptot, a.nproma, a.kernel):
