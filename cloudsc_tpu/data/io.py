@@ -94,23 +94,48 @@ class InputData:
         return dataclasses.replace(self, fields=fields)
 
 
-def _load_raw(path: str | Path) -> tuple[dict, dict]:
-    """Load (fields, scalars) from either a .h5 file or a Serialbox directory."""
+def _load_raw(path: str | Path,
+              col_slice: tuple[int, int] | None = None) -> tuple[dict, dict]:
+    """Load (fields, scalars) from either a .h5 file or a Serialbox directory.
+
+    `col_slice=(start, count)` restricts per-column fields to that column
+    range via true hyperslab reads — only the rank's slice ever leaves the
+    file (ref: file_io_mod.F90:158-235 load_array start/count)."""
     path = Path(path)
     if path.is_dir():
-        return load_input_archive(path, "input")
+        return load_input_archive(path, "input", col_slice=col_slice)
     import h5py
 
     fields, scalars = {}, {}
     with h5py.File(path, "r") as f:
         for k in f.keys():
-            data = np.asarray(f[k])
-            if data.shape == (1,):
-                v = data[0]
+            if f[k].shape == (1,):
+                v = f[k][0]
                 scalars[k] = v.item() if hasattr(v, "item") else v
+        klon = int(scalars.get("KLON", -1))
+        for k in f.keys():
+            ds = f[k]
+            if ds.shape == (1,):
+                continue
+            if col_slice is not None and ds.shape[-1] == klon:
+                start, count = col_slice
+                fields[k] = np.asarray(ds[..., start:start + count])
             else:
-                fields[k] = data
+                fields[k] = np.asarray(ds)
     return fields, scalars
+
+
+def _peek_klon(path: str | Path) -> int:
+    """The snapshot's column count, read without touching any field data."""
+    path = Path(path)
+    if path.is_dir():
+        from .serialbox import SerialboxArchive
+
+        return int(SerialboxArchive(path, "input").global_scalars()["KLON"])
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return int(f["KLON"][0])
 
 
 def load_input(path: str | Path, ngptot: int | None = None,
@@ -129,17 +154,18 @@ def load_input(path: str | Path, ngptot: int | None = None,
     """
     from .expand import get_offsets
 
-    raw_fields, scalars = _load_raw(path)
-    klon = int(scalars["KLON"])
-    klev = int(scalars["KLEV"])
+    # this rank's column slice is decided BEFORE the read, so only the slice
+    # is ever loaded from the archive (the hyperslab reads of
+    # file_io_mod.F90:158-235, not load-everything-then-slice)
+    klon = _peek_klon(path)
     ngptot = ngptot or klon
     start, count = get_offsets(klon, ngptot, ngptotg or ngptot, rank, nranks)
+    col_slice = (start, count) if (start, count) != (0, klon) else None
+    raw_fields, scalars = _load_raw(path, col_slice=col_slice)
+    klev = int(scalars["KLEV"])
     fields = {}
     for name in INPUT_FIELDS:
-        arr = raw_fields[name]
-        if (start, count) != (0, klon):
-            arr = arr[..., start:start + count]
-        fields[name] = expand_field(arr, ngptot)
+        fields[name] = expand_field(raw_fields[name], ngptot)
     # Parameter tables stored as fields, not per-column data — no expansion
     # (ref: yoecldp.F90:358-366 loads YRECLDP_RBETA(0:100)).
     for name in ("YRECLDP_RBETA", "YRECLDP_RBETAP1"):
@@ -173,15 +199,17 @@ def load_reference(path: str | Path, ngptot: int | None = None,
     out = {}
     with h5py.File(path, "r") as f:
         for name in REFERENCE_FIELDS:
-            arr = np.asarray(f[name])
+            ds = f[name]
             if ngptot is None:
-                out[name] = arr
+                out[name] = np.asarray(ds)
                 continue
-            klon = arr.shape[-1]
+            klon = ds.shape[-1]
             start, count = get_offsets(klon, ngptot, ngptotg or ngptot,
                                        rank, nranks)
-            if (start, count) != (0, klon):
-                arr = arr[..., start:start + count]
+            if (start, count) != (0, klon):  # hyperslab read of the slice
+                arr = np.asarray(ds[..., start:start + count])
+            else:
+                arr = np.asarray(ds)
             out[name] = expand_field(arr, ngptot)
     return out
 

@@ -52,20 +52,31 @@ class SerialboxArchive:
         nbytes = info["__bytesperelement"]["value"]
         return _ELEMENT_DTYPES[(elem, nbytes)]
 
-    def read(self, name: str) -> np.ndarray:
-        """Read a field; returns HDF5-mirror layout (reversed dims, C order)."""
+    def read(self, name: str,
+             col_slice: tuple[int, int] | None = None) -> np.ndarray:
+        """Read a field; returns HDF5-mirror layout (reversed dims, C order).
+
+        `col_slice=(start, count)` reads only those columns (Serialbox dim 0)
+        — the per-rank hyperslab read of the reference
+        (ref: file_io_mod.F90:158-235); a memmap keeps the untouched columns
+        off the heap."""
         dims = self.field_dims(name)
         dtype = self.field_dtype(name)
         path = self.directory / f"{self.prefix}_{name}.dat"
-        raw = np.fromfile(path, dtype=dtype)
         n = int(np.prod(dims))
-        if raw.size != n:
+        if path.stat().st_size != n * np.dtype(dtype).itemsize:
             raise ValueError(
-                f"{path}: expected {n} elements for dims {dims}, got {raw.size}"
+                f"{path}: expected {n} elements for dims {dims}"
             )
+        if col_slice is None:
+            arr = np.fromfile(path, dtype=dtype).reshape(dims, order="F")
+        else:
+            start, count = col_slice
+            mm = np.memmap(path, dtype=dtype, mode="r", shape=tuple(dims),
+                           order="F")
+            arr = np.array(mm[start:start + count])
         # Serialbox stores column-major; reshape in Fortran order then transpose
         # to C order with reversed dims (matches serialbox2hdf5.py:36-39).
-        arr = raw.reshape(dims, order="F")
         if arr.ndim > 1:
             arr = np.ascontiguousarray(arr.transpose())
         return arr
@@ -80,12 +91,25 @@ class SerialboxArchive:
         return out
 
 
-def load_input_archive(directory: str | Path, prefix: str = "input") -> tuple[dict, dict]:
+def load_input_archive(directory: str | Path, prefix: str = "input",
+                       col_slice: tuple[int, int] | None = None
+                       ) -> tuple[dict, dict]:
     """Load every field + global scalar from a Serialbox archive directory.
 
     Returns (fields, globals) where fields maps name -> np.ndarray in the
     HDF5-mirror layout and globals maps scalar name -> python value.
+    `col_slice` restricts per-column fields (Serialbox dim 0 == KLON) to the
+    given (start, count) — parameter tables like RBETA are left whole.
     """
     ar = SerialboxArchive(directory, prefix)
-    fields = {name: ar.read(name) for name in ar.fieldnames()}
-    return fields, ar.global_scalars()
+    scalars = ar.global_scalars()
+    klon = int(scalars.get("KLON", -1))
+    fields = {
+        name: ar.read(
+            name,
+            col_slice if (col_slice is not None
+                          and ar.field_dims(name)[0] == klon) else None,
+        )
+        for name in ar.fieldnames()
+    }
+    return fields, scalars

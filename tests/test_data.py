@@ -102,3 +102,20 @@ def test_per_rank_slicing(tmp_path):
                                       full.fields[name][..., :128])
         np.testing.assert_array_equal(r1.fields[name],
                                       full.fields[name][..., 128:])
+
+
+def test_per_rank_slicing_serialbox_dir():
+    """The raw Serialbox archive path slices per rank too (memmap hyperslab,
+    ref: file_io_mod.F90:158-235) — only the rank's columns leave the file."""
+    import numpy as np
+
+    from cloudsc_tpu.data import load_input
+
+    full = load_input(REFERENCE_DATA, ngptot=100)
+    r1 = load_input(REFERENCE_DATA, ngptot=50, ngptotg=100, rank=1, nranks=2)
+    for name in ("PT", "PAPH", "PCLV", "KTYPE", "LDCUM"):
+        np.testing.assert_array_equal(r1.fields[name],
+                                      full.fields[name][..., 50:])
+    # parameter tables are never column-sliced
+    np.testing.assert_array_equal(r1.fields["YRECLDP_RBETA"],
+                                  full.fields["YRECLDP_RBETA"])
