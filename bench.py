@@ -87,7 +87,7 @@ def main() -> int:
     input_path = default_input_path()
     backend = os.environ.get("CLOUDSC_BENCH_BACKEND", "auto")
 
-    inp = load_input(input_path, ngptot=ngptot)
+    inp = load_input(input_path, ngptot=ngptot, expand=False)
     params = Params.from_input(inp)
     driver = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32, nproma=128,
                            backend=backend, use_mesh=use_mesh)

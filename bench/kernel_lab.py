@@ -71,7 +71,7 @@ def main() -> int:
     cloudsc_tpu.enable_compilation_cache()
 
     from cloudsc_tpu.data import default_input_path, load_input
-    from cloudsc_tpu.kernels.pallas_cloudsc import cloudsc_pallas, pack_inputs
+    from cloudsc_tpu.kernels.pallas_cloudsc import cloudsc_pallas
     from cloudsc_tpu.params import Params
 
     floor_s = _dispatch_floor()
@@ -79,13 +79,12 @@ def main() -> int:
     results = []
 
     for ngptot in a.ngptot:
-        inp = load_input(default_input_path(), ngptot=ngptot)
+        inp = load_input(default_input_path(), ngptot=ngptot, expand=False)
         params = Params.from_input(inp)
-        from cloudsc_tpu.physics import make_inputs
+        from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs_raw
 
-        fields = make_inputs(inp, dtype=jnp.float32, host=True)
         for sb in a.sb:
-            packed, ncol = pack_inputs(fields, sb, params)
+            packed, ncol = pack_inputs_raw(inp, sb, params)
             packed = jax.device_put(packed)
             jax.block_until_ready(packed)
             for lps in a.lps:

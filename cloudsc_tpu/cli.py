@@ -124,7 +124,7 @@ def main(argv=None) -> int:
     else:
         ngptot = ngptotg
     inp = load_input(input_path, ngptot=ngptot, ngptotg=ngptotg,
-                     rank=rank, nranks=nranks)
+                     rank=rank, nranks=nranks, expand=False)
     params = Params.from_input(inp)
 
     backend = {"scan": "xla", "pallas": "pallas", "auto": "auto"}[args.kernel]

@@ -140,7 +140,7 @@ def _peek_klon(path: str | Path) -> int:
 
 def load_input(path: str | Path, ngptot: int | None = None,
                ngptotg: int | None = None, rank: int = 0,
-               nranks: int = 1) -> InputData:
+               nranks: int = 1, expand: bool = True) -> InputData:
     """Load the input snapshot and expand to ngptot columns.
 
     `path` may be the reference's data/ directory (raw Serialbox archive) or an
@@ -165,7 +165,11 @@ def load_input(path: str | Path, ngptot: int | None = None,
     klev = int(scalars["KLEV"])
     fields = {}
     for name in INPUT_FIELDS:
-        fields[name] = expand_field(raw_fields[name], ngptot)
+        # expand=False defers the cyclic expansion to the consumer
+        # (make_inputs / the fused native packer) — at benchmark sizes the
+        # expanded fp64 dict is gigabytes the packed path never needs
+        fields[name] = (expand_field(raw_fields[name], ngptot) if expand
+                        else raw_fields[name])
     # Parameter tables stored as fields, not per-column data — no expansion
     # (ref: yoecldp.F90:358-366 loads YRECLDP_RBETA(0:100)).
     for name in ("YRECLDP_RBETA", "YRECLDP_RBETAP1"):

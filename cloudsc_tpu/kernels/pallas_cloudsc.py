@@ -197,13 +197,29 @@ def _kernel(c, nlev, ktop, packed, lps, mode, *refs):
 
     # each grid step integrates `lps` consecutive levels (halving the
     # per-step DMA-issue and pipeline cost); (nlev+1) % lps == 0 by _build
-    for sub in range(lps):
-        _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
-                   ins, o_lev, o_half, o_prainfrac, scr, aer)
+    #
+    # grid steps entirely ABOVE cloud top (the Fortran JK loop starts at
+    # NCLDTOP, ref: 854) take a cheap body: section-1 outputs + section-8
+    # bookkeeping only, no level_step — a runtime branch that skips ~10% of
+    # the kernel's VPU work (levels 0..NCLDTOP-2 discard the full physics
+    # under the is_scan masks otherwise)
+    above_top = lps * k2 + lps - 1 < ktop
+
+    @pl.when(above_top)
+    def _cheap():
+        for sub in range(lps):
+            _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
+                       ins, o_lev, o_half, o_prainfrac, scr, aer, full=False)
+
+    @pl.when(jnp.logical_not(above_top))
+    def _full():
+        for sub in range(lps):
+            _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
+                       ins, o_lev, o_half, o_prainfrac, scr, aer, full=True)
 
 
 def _sub_level(c, nlev, ktop, packed, lps, sub, k,
-               ins, o_lev, o_half, o_prainfrac, scr, aer):
+               ins, o_lev, o_half, o_prainfrac, scr, aer, full=True):
     zqtmst, ptsphy = c.zqtmst, c.ptsphy
 
     # ---- section 8 flux rows for half-level k (state BEFORE level k) ------
@@ -239,6 +255,20 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
         plsm, ldcum_b, ktype_i, paph_surf = cols
 
         ini = scheme.level_init(raw, c)
+        zero = jnp.zeros_like(ini["ztp1"])
+
+        if not full:
+            # above cloud top: section-1 values pass through, no physics, no
+            # carry updates (they are frozen at zero there anyway)
+            _write_level_rows(
+                c, o_lev, o_half, scr, sub, k, raw, ini,
+                plude_row=raw["plude"], pcovptot_row=zero,
+                tend_t_row=ini["tend_t_pre"], tend_q_row=ini["tend_q_pre"],
+                tend_a_row=zero, zqxn_eff=[zero] * NCLV,
+                paph_k=paph_k, paph_k1=paph_k1,
+            )
+            return
+
         is_scan = k >= ktop
 
         x = dict(
@@ -282,21 +312,6 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
         def sel(a, b):
             return jnp.where(is_scan, a, b)
 
-        zero = jnp.zeros_like(ini["ztp1"])
-
-        # per-level outputs; rows above NCLDTOP keep their section-1 values
-        # exactly as in the Fortran (the JK loop starts at NCLDTOP, ref: 854)
-        plude_row = sel(ys["plude"], raw["plude"])
-        o_lev[sub, 0] = plude_row
-        o_lev[sub, 1] = sel(ys["pcovptot"], zero)
-        o_lev[sub, 2] = sel(ys["tend_t"], ini["tend_t_pre"])
-        o_lev[sub, 3] = sel(ys["tend_q"], ini["tend_q_pre"])
-        o_lev[sub, 4] = sel(ys["tend_a"], zero)
-        zqxn_eff = [sel(ys["zqxn"][m], zero) for m in range(NCLV)]
-        o_lev[sub, 5 + IV] = zero
-        for m in (IL, II, IR, IS):
-            o_lev[sub, 5 + m] = (zqxn_eff[m] - ini["zqx0"][m]) * zqtmst
-
         # carry updates — frozen (zero-state) above NCLDTOP
         scr[_S_ZANEWM1] = sel(new_carry["zanewm1"], scr[_S_ZANEWM1])
         for m in range(NCLV):
@@ -310,39 +325,68 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
         )
         scr[_S_PRAINFRAC] = sel(new_carry["prainfrac"], scr[_S_PRAINFRAC])
 
-        # previous-level state for the next step (ref: JK-1 reads)
-        scr[_S_ZTP1_PREV] = ini["ztp1"]
-        scr[_S_ZA_PREV] = ini["za"]
-        scr[_S_PAP_PREV] = raw["pap"]
+        # per-level outputs; rows above NCLDTOP keep their section-1 values
+        # exactly as in the Fortran (the JK loop starts at NCLDTOP, ref: 854)
+        _write_level_rows(
+            c, o_lev, o_half, scr, sub, k, raw, ini,
+            plude_row=sel(ys["plude"], raw["plude"]),
+            pcovptot_row=sel(ys["pcovptot"], zero),
+            tend_t_row=sel(ys["tend_t"], ini["tend_t_pre"]),
+            tend_q_row=sel(ys["tend_q"], ini["tend_q_pre"]),
+            tend_a_row=sel(ys["tend_a"], zero),
+            zqxn_eff=[sel(ys["zqxn"][m], zero) for m in range(NCLV)],
+            paph_k=paph_k, paph_k1=paph_k1,
+        )
 
-        # section-8 increments for this level (ref: 2798-2857)
-        zgdph_r = -c.zrg_r * (paph_k1 - paph_k) * zqtmst
-        zlneg = ini["zlneg"]
-        liq_inc = (
-            zqxn_eff[IL] - ini["zqx0"][IL] + raw["pvfl"] * ptsphy
-            - ini["zfoealfa"] * plude_row
-        ) * zgdph_r
-        ice_inc = (
-            zqxn_eff[II] - ini["zqx0"][II] + raw["pvfi"] * ptsphy
-            - (1.0 - ini["zfoealfa"]) * plude_row
-        ) * zgdph_r
-        rain_inc = (zqxn_eff[IR] - ini["zqx0"][IR]) * zgdph_r
-        snow_inc = (zqxn_eff[IS] - ini["zqx0"][IS]) * zgdph_r
 
-        scr[_S_ALF_PREV] = scr[_S_A_LF]
-        scr[_S_AIF_PREV] = scr[_S_A_IF]
-        scr[_S_ALNG_PREV] = scr[_S_A_LNG]
-        scr[_S_ANNG_PREV] = scr[_S_A_NNG]
-        scr[_S_RAININC_PREV] = rain_inc
-        scr[_S_SNOWINC_PREV] = snow_inc
-        scr[_S_LNEGR_PREV] = zlneg[IR] * zgdph_r
-        scr[_S_LNEGS_PREV] = zlneg[IS] * zgdph_r
-        scr[_S_A_LF] = scr[_S_A_LF] + liq_inc
-        scr[_S_A_IF] = scr[_S_A_IF] + ice_inc
-        scr[_S_A_LNG] = scr[_S_A_LNG] + zlneg[IL] * zgdph_r
-        scr[_S_A_NNG] = scr[_S_A_NNG] + zlneg[II] * zgdph_r
-        scr[_S_A_LTUR] = scr[_S_A_LTUR] + raw["pvfl"] * ptsphy * zgdph_r
-        scr[_S_A_ITUR] = scr[_S_A_ITUR] + raw["pvfi"] * ptsphy * zgdph_r
+def _write_level_rows(c, o_lev, o_half, scr, sub, k, raw, ini, *, plude_row,
+                      pcovptot_row, tend_t_row, tend_q_row, tend_a_row,
+                      zqxn_eff, paph_k, paph_k1):
+    """Per-level output rows + previous-level state + section-8 running sums —
+    the part of a level every grid step does, physics or not."""
+    zqtmst, ptsphy = c.zqtmst, c.ptsphy
+    o_lev[sub, 0] = plude_row
+    o_lev[sub, 1] = pcovptot_row
+    o_lev[sub, 2] = tend_t_row
+    o_lev[sub, 3] = tend_q_row
+    o_lev[sub, 4] = tend_a_row
+    o_lev[sub, 5 + IV] = jnp.zeros_like(plude_row)
+    for m in (IL, II, IR, IS):
+        o_lev[sub, 5 + m] = (zqxn_eff[m] - ini["zqx0"][m]) * zqtmst
+
+    # previous-level state for the next step (ref: JK-1 reads)
+    scr[_S_ZTP1_PREV] = ini["ztp1"]
+    scr[_S_ZA_PREV] = ini["za"]
+    scr[_S_PAP_PREV] = raw["pap"]
+
+    # section-8 increments for this level (ref: 2798-2857)
+    zgdph_r = -c.zrg_r * (paph_k1 - paph_k) * zqtmst
+    zlneg = ini["zlneg"]
+    liq_inc = (
+        zqxn_eff[IL] - ini["zqx0"][IL] + raw["pvfl"] * ptsphy
+        - ini["zfoealfa"] * plude_row
+    ) * zgdph_r
+    ice_inc = (
+        zqxn_eff[II] - ini["zqx0"][II] + raw["pvfi"] * ptsphy
+        - (1.0 - ini["zfoealfa"]) * plude_row
+    ) * zgdph_r
+    rain_inc = (zqxn_eff[IR] - ini["zqx0"][IR]) * zgdph_r
+    snow_inc = (zqxn_eff[IS] - ini["zqx0"][IS]) * zgdph_r
+
+    scr[_S_ALF_PREV] = scr[_S_A_LF]
+    scr[_S_AIF_PREV] = scr[_S_A_IF]
+    scr[_S_ALNG_PREV] = scr[_S_A_LNG]
+    scr[_S_ANNG_PREV] = scr[_S_A_NNG]
+    scr[_S_RAININC_PREV] = rain_inc
+    scr[_S_SNOWINC_PREV] = snow_inc
+    scr[_S_LNEGR_PREV] = zlneg[IR] * zgdph_r
+    scr[_S_LNEGS_PREV] = zlneg[IS] * zgdph_r
+    scr[_S_A_LF] = scr[_S_A_LF] + liq_inc
+    scr[_S_A_IF] = scr[_S_A_IF] + ice_inc
+    scr[_S_A_LNG] = scr[_S_A_LNG] + zlneg[IL] * zgdph_r
+    scr[_S_A_NNG] = scr[_S_A_NNG] + zlneg[II] * zgdph_r
+    scr[_S_A_LTUR] = scr[_S_A_LTUR] + raw["pvfl"] * ptsphy * zgdph_r
+    scr[_S_A_ITUR] = scr[_S_A_ITUR] + raw["pvfi"] * ptsphy * zgdph_r
 
 
 def _lps_for(nlev: int) -> int:
@@ -547,6 +591,68 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
     ]))
     # ncol is carried OUTSIDE the arrays (static under jit/fori_loop)
     return dict(pack=pack, nxt=nxt, paph=paph, col=col), ncol
+
+
+def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
+                    dtype=None):
+    """Packed-storage pytree straight from an InputData — fused native path.
+
+    Unlike `pack_inputs` (which consumes an already-expanded field dict),
+    this reads the RAW snapshot fields and performs column expansion, the
+    fp32 cast and the packed-buffer build in ONE native pass per buffer
+    (cloudsc_native.cpp cs_pack_expand_f32) — the load_state.c/expand_mod
+    analogue. It accepts both unexpanded (file-width) and expanded fields;
+    falls back to make_inputs + pack_inputs when the native library or fp32
+    is unavailable."""
+    import numpy as np
+
+    from ..physics.cloudsc import make_inputs
+
+    f = inp.fields
+    ncol = inp.ngptot
+    nlev = inp.klev
+
+    if dtype is not None and jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        fields = make_inputs(inp, dtype=dtype, host=True)
+        return pack_inputs(fields, sublanes, params, config)
+
+    from ..native import pack_expand_native
+
+    tile = sublanes * LANES
+    target = -(-ncol // tile) * tile
+    nblk = target // LANES
+    aer = []
+    if params is not None:
+        c = scheme.derived_consts(params, 1.0, jnp.float32, config)
+        aer = _aer_rows(c)
+
+    def src(name):
+        if name.startswith("pclv"):
+            return f["PCLV"][int(name[4:])]
+        if name.startswith("tcld"):
+            return f["TENDENCY_TMP_CLD"][int(name[4:])]
+        return f[name.upper()]
+
+    pad = 1 if _lps_for(nlev) > 1 else 0
+    rows = [src(n) for n in _PACK_ROWS] + [f[n.upper()] for n in aer]
+    pack = pack_expand_native(rows, ncol, target, nlev + pad)
+    nxt = pack_expand_native([f["PMFU"], f["PMFD"], f["PLU"]],
+                             ncol, target, nlev + pad)
+    paph = pack_expand_native([f["PAPH"]], ncol, target, nlev + 1)
+    col = pack_expand_native(
+        [f["PLSM"], np.asarray(f["LDCUM"], np.float64),
+         np.asarray(f["KTYPE"], np.float64), f["PAPH"][nlev]],
+        ncol, target, 1,
+    )
+    if any(x is None for x in (pack, nxt, paph, col)):
+        fields = make_inputs(inp, dtype=jnp.float32, host=True)
+        return pack_inputs(fields, sublanes, params, config)
+    return dict(
+        pack=pack.reshape(pack.shape[0], pack.shape[1], nblk, LANES),
+        nxt=nxt.reshape(nxt.shape[0], nxt.shape[1], nblk, LANES),
+        paph=paph.reshape(nlev + 1, nblk, LANES),
+        col=col.reshape(4, nblk, LANES),
+    ), ncol
 
 
 def _shaper(fields: dict, sublanes: int, xp=jnp):

@@ -75,6 +75,13 @@ def get_lib():
             fn = getattr(lib, f"cs_field_stats_{suffix}")
             fn.argtypes = [cptr, cptr, i64, i32, pd]
             fn.restype = None
+        pd64 = ctypes.POINTER(ctypes.c_double)
+        lib.cs_pack_expand_f32.argtypes = [
+            ctypes.POINTER(pd64), ctypes.POINTER(ctypes.c_int64),
+            i64, i64, i64, i64, i64,
+            ctypes.POINTER(ctypes.c_float), i32,
+        ]
+        lib.cs_pack_expand_f32.restype = None
         lib.cs_hardware_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -126,3 +133,36 @@ def field_stats_native(field: np.ndarray, ref: np.ndarray, nthreads: int = 0):
     fn(field.ctypes.data_as(ptr), ref.ctypes.data_as(ptr),
        field.size, nthreads, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return tuple(out)
+
+
+def pack_expand_native(srcs: list, ncol: int, target: int,
+                       nlev_rows: int, nthreads: int = 0):
+    """Fused expand+cast+pack: raw (nlev_r, klon) fp64 fields -> one fp32
+    buffer (nlev_rows, len(srcs), target), cyclically expanded to ncol
+    columns and edge-padded to target. Level index clamps to each source's
+    last row (the lps pad-row / half-level convention). None if unavailable.
+
+    One write of the packed bytes replaces the expand->cast->pack numpy
+    pipeline (the reference does its expansion natively too,
+    ref: expand_mod.F90:173-334, load_state.c)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arrs = []
+    for s in srcs:
+        a = np.ascontiguousarray(np.atleast_2d(np.asarray(s, dtype=np.float64)))
+        arrs.append(a)
+    klon = arrs[0].shape[-1]
+    if any(a.shape[-1] != klon for a in arrs):
+        return None
+    nrows = len(arrs)
+    pd64 = ctypes.POINTER(ctypes.c_double)
+    ptrs = (pd64 * nrows)(*[a.ctypes.data_as(pd64) for a in arrs])
+    levs = np.asarray([a.shape[0] for a in arrs], dtype=np.int64)
+    dst = np.empty((nlev_rows, nrows, target), dtype=np.float32)
+    lib.cs_pack_expand_f32(
+        ptrs, levs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nrows, nlev_rows, klon, ncol, target,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nthreads,
+    )
+    return dst

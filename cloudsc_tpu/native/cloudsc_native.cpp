@@ -95,9 +95,56 @@ void field_stats(const T* field, const T* ref, int64_t n, int nthreads,
   out5[0] = mn; out5[1] = mx; out5[2] = me; out5[3] = es; out5[4] = rs;
 }
 
+// Fused expand + cast + pack: one pass from the raw (nlev_r, klon) fp64
+// snapshot fields straight into a packed fp32 buffer laid out
+// (nlev_rows, nrows, target) — the cyclic column expansion
+// (ref: expand_mod.F90:237-334), the SINGLE-precision cast
+// (ref: parkind1.F90:40-44) and the FIELD-API-style packed buffer build
+// (ref: cloudsc_field_state_mod.F90, README.md:324-330) in one write.
+// Separate numpy stages write the expanded fp64 dict + cast + pack
+// (~13 GB of traffic at 160K columns); this writes the 2.7 GB pack once.
+//
+//   dst[k, r, j] = (float) srcs[r][ min(k, levs[r]-1)*klon + col(j) ]
+//   col(j) = (j < ncol ? j : ncol-1) % klon        (edge-padded tail)
+void pack_expand_f32(const double** srcs, const int64_t* levs, int64_t nrows,
+                     int64_t nlev_rows, int64_t klon, int64_t ncol,
+                     int64_t target, float* dst, int nthreads) {
+  int64_t planes = nlev_rows * nrows;
+  nthreads = std::min<int64_t>(resolve_threads(nthreads), std::max<int64_t>(planes, 1));
+  parallel_for_threads(static_cast<int>(nthreads), [=](int t) {
+    std::vector<float> period(klon);
+    int64_t lo = planes * t / nthreads;
+    int64_t hi = planes * (t + 1) / nthreads;
+    for (int64_t p = lo; p < hi; ++p) {
+      int64_t k = p / nrows, r = p % nrows;
+      int64_t lev = std::min(k, levs[r] - 1);
+      const double* s = srcs[r] + lev * klon;
+      float* d = dst + p * target;
+      for (int64_t j = 0; j < klon; ++j)
+        period[j] = static_cast<float>(s[j]);
+      int64_t full = ncol / klon;
+      for (int64_t rep = 0; rep < full; ++rep)
+        std::memcpy(d + rep * klon, period.data(), sizeof(float) * klon);
+      int64_t tail = ncol - full * klon;
+      if (tail)
+        std::memcpy(d + full * klon, period.data(), sizeof(float) * tail);
+      float edge = period[(ncol - 1) % klon];
+      for (int64_t j = ncol; j < target; ++j) d[j] = edge;
+    }
+  });
+}
+
 }  // namespace
 
 extern "C" {
+
+void cs_pack_expand_f32(const double** srcs, const int64_t* levs,
+                        int64_t nrows, int64_t nlev_rows, int64_t klon,
+                        int64_t ncol, int64_t target, float* dst,
+                        int nthreads) {
+  pack_expand_f32(srcs, levs, nrows, nlev_rows, klon, ncol, target, dst,
+                  nthreads);
+}
 
 void cs_expand_f64(const double* src, double* dst, int64_t nrows,
                    int64_t klon, int64_t ngptot, int nthreads) {

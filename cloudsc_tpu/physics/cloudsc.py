@@ -61,12 +61,28 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False) -> dict:
     host=True keeps the arrays in numpy (no device transfer) — used by the
     packed-storage path so the pack is built host-side and only the packed
     buffers ever reach HBM (the field dict + pack coexisting on device is
-    what exhausted memory above ~200K columns)."""
+    what exhausted memory above ~200K columns).
+
+    Accepts unexpanded InputData (load_input(expand=False)): fields are
+    cast at file width FIRST, then cyclically expanded — the cheap order
+    (a fp32 expand writes half the bytes of expand-then-cast)."""
     import numpy as np
+
+    from ..data.expand import expand_field
 
     xp = np if host else jnp
     f = inp.fields
-    cast = lambda name: xp.asarray(f[name], dtype=dtype)
+    ngptot = inp.ngptot
+
+    def cast(name, to=None):
+        a = np.asarray(f[name])
+        to = np.dtype(to if to is not None else np.dtype(dtype))
+        if a.dtype != to:
+            a = a.astype(to)
+        if a.shape[-1] != ngptot:
+            a = expand_field(a, ngptot)
+        return a if host else jnp.asarray(a)
+
     return {
         "pt": cast("PT"), "pq": cast("PQ"),
         "tendency_tmp_t": cast("TENDENCY_TMP_T"),
@@ -78,8 +94,8 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False) -> dict:
         "phrsw": cast("PHRSW"), "phrlw": cast("PHRLW"),
         "pvervel": cast("PVERVEL"), "pap": cast("PAP"), "paph": cast("PAPH"),
         "plsm": cast("PLSM"),
-        "ldcum": xp.asarray(f["LDCUM"], dtype=bool),
-        "ktype": xp.asarray(f["KTYPE"], dtype="int32"),
+        "ldcum": cast("LDCUM", to=bool),
+        "ktype": cast("KTYPE", to="int32"),
         "plu": cast("PLU"), "plude": cast("PLUDE"), "psnde": cast("PSNDE"),
         "pmfu": cast("PMFU"), "pmfd": cast("PMFD"),
         "pa": cast("PA"), "pclv": cast("PCLV"), "psupsat": cast("PSUPSAT"),

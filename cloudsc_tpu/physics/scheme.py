@@ -1083,7 +1083,14 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     ]
     zmaxe = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
     for round_i in range(1, NCLV):
-        new_ratio = []
+        # exactly ONE species has rank == round_i per column, so the round's
+        # division is done once on the one-hot-selected (numerator,
+        # denominator) pair — bitwise identical to dividing per species
+        # (summing four exact zeros and one value changes no bits), and 4
+        # fewer VPU divides per round
+        sel = [rank[m] == round_i for m in range(NCLV)]
+        num = None
+        den = None
         for m in range(NCLV):
             sink = None
             for n in range(NCLV):
@@ -1093,11 +1100,11 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
                 if prec[m][n] is not None:
                     v = v * jnp.where(prec[m][n], ratio_fin[n], 1.0)
                 sink = sadd(sink, -v)
-            new_ratio.append(zmaxe[m] / jnp.maximum(sink, zmaxe[m]))
+            num = sadd(num, madd(sel[m], zmaxe[m]))
+            den = sadd(den, madd(sel[m], jnp.maximum(sink, zmaxe[m])))
+        ratio_sel = num / den
         for m in range(NCLV):
-            ratio_fin[m] = jnp.where(
-                rank[m] == round_i, new_ratio[m], ratio_fin[m]
-            )
+            ratio_fin[m] = jnp.where(sel[m], ratio_sel, ratio_fin[m])
     if "s521" not in c.skip:
         for m in range(NCLV):
             for n in range(NCLV):

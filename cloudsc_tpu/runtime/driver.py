@@ -141,17 +141,17 @@ class CloudscDriver:
         field dict."""
         ncol = inp.ngptot
         if self.packed:
-            from ..kernels.pallas_cloudsc import pack_inputs
+            from ..kernels.pallas_cloudsc import pack_inputs_raw
 
-            # pack on HOST: the field dict and the pack must never coexist
-            # in HBM (the transient exhausts memory above ~200K columns)
-            fields = make_inputs(inp, dtype=self.dtype, host=True)
+            # pack on HOST (the field dict and the pack must never coexist
+            # in HBM — the transient exhausts memory above ~200K columns),
+            # fusing expansion+cast+pack in one native pass when available
             # on a mesh, pad so every device's shard is a whole tile
             gran = self.sublanes
             if self.mesh is not None:
                 gran *= int(self.mesh.devices.size)
-            packed, _ = pack_inputs(fields, gran, self.params,
-                                    self.scheme_config)
+            packed, _ = pack_inputs_raw(inp, gran, self.params,
+                                        self.scheme_config, dtype=self.dtype)
             return packed, ncol
         fields = make_inputs(inp, dtype=self.dtype)
         mult = self._pad_multiple()
