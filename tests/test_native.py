@@ -47,3 +47,30 @@ def test_field_stats_matches_numpy():
     assert maxerr == diff.max()
     np.testing.assert_allclose(errsum, diff.sum(), rtol=1e-12)
     np.testing.assert_allclose(refsum, np.abs(ref).sum(), rtol=1e-12)
+
+
+def test_pack_inputs_raw_matches_numpy_pipeline():
+    """The fused native expand+cast+pack must be bitwise-identical to the
+    numpy pipeline (expand at load -> make_inputs fp32 -> pack_inputs), at a
+    tile-exact and a padded column count."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cloudsc_tpu.data import load_input
+    from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs, pack_inputs_raw
+    from cloudsc_tpu.params import Params
+    from cloudsc_tpu.physics import make_inputs
+    from conftest import REFERENCE_DATA
+
+    for ng in (4096, 300):
+        raw = load_input(REFERENCE_DATA, ngptot=ng, expand=False)
+        exp = load_input(REFERENCE_DATA, ngptot=ng)
+        params = Params.from_input(raw)
+        p_nat, ncol = pack_inputs_raw(raw, 32, params)
+        fields = make_inputs(exp, dtype=jnp.float32, host=True)
+        p_ref, ncol2 = pack_inputs(fields, 32, params)
+        assert ncol == ncol2 == ng
+        for k in p_ref:
+            a, b = np.asarray(p_nat[k]), np.asarray(p_ref[k])
+            assert a.shape == b.shape, (k, a.shape, b.shape)
+            np.testing.assert_array_equal(a, b, err_msg=f"{k} ngptot={ng}")
