@@ -57,8 +57,8 @@ def main() -> int:
     p.add_argument("--lps", type=int, nargs="+", default=[2])
     p.add_argument("--modes", nargs="+", default=["full"])
     p.add_argument("--skip", nargs="+", default=[""],
-                   help="CLOUDSC_SCHEME_SKIP values to sweep (section "
-                        "attribution; '' = full physics)")
+                   help="comma-joined section tags to skip, swept one value "
+                        "per run (attribution; '' = full physics)")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--out", default=None)
     a = p.parse_args()
@@ -73,6 +73,7 @@ def main() -> int:
     from cloudsc_tpu.data import default_input_path, load_input
     from cloudsc_tpu.kernels.pallas_cloudsc import cloudsc_pallas
     from cloudsc_tpu.params import Params
+    from cloudsc_tpu.physics.scheme import SchemeConfig
 
     floor_s = _dispatch_floor()
     print(f"# dispatch floor: {floor_s * 1e3:.2f} ms", flush=True)
@@ -83,53 +84,58 @@ def main() -> int:
         params = Params.from_input(inp)
         from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs_raw
 
-        for sb in a.sb:
+        for sb, lps in ((s, l) for s in a.sb for l in a.lps):
+            # lps must be pinned BEFORE packing: the pad-row decision at pack
+            # time (_lps_for) has to agree with the kernel's level blocking
+            os.environ["CLOUDSC_PALLAS_LPS"] = str(lps)
             packed, ncol = pack_inputs_raw(inp, sb, params)
             packed = jax.device_put(packed)
             jax.block_until_ready(packed)
-            for lps in a.lps:
-                os.environ["CLOUDSC_PALLAS_LPS"] = str(lps)
-                for mode, skip in ((m, s) for m in a.modes for s in a.skip):
-                    os.environ["CLOUDSC_SCHEME_SKIP"] = skip
-                    def step(p):
-                        return cloudsc_pallas(
-                            None, params, inp.ptsphy, sublanes=sb,
-                            packed=p, ncol_packed=ncol, _mode=mode,
-                        )
+            for mode, skip in ((m, s) for m in a.modes for s in a.skip):
+                cfg = SchemeConfig(
+                    skip=tuple(x for x in skip.split(",") if x)
+                )
 
-                    def body(_, fs):
-                        out = step(fs)
-                        fs = dict(fs)
-                        fs["col"] = fs["col"] + 0.0 * \
-                            out.prainfrac_toprfz.reshape(1, -1, 128)
-                        return fs
-
-                    chained = jax.jit(
-                        lambda fs: jax.lax.fori_loop(0, a.iters, body, fs)["col"]
+                def step(p):
+                    return cloudsc_pallas(
+                        None, params, inp.ptsphy, sublanes=sb,
+                        packed=p, ncol_packed=ncol, _mode=mode,
+                        config=cfg,
                     )
-                    try:
+
+                def body(_, fs):
+                    out = step(fs)
+                    fs = dict(fs)
+                    fs["col"] = fs["col"] + 0.0 * \
+                        out.prainfrac_toprfz.reshape(1, -1, 128)
+                    return fs
+
+                chained = jax.jit(
+                    lambda fs: jax.lax.fori_loop(0, a.iters, body, fs)["col"]
+                )
+                try:
+                    t0 = time.perf_counter()
+                    _sync(chained(packed))
+                    compile_s = time.perf_counter() - t0
+                    best = float("inf")
+                    for _ in range(4):
                         t0 = time.perf_counter()
                         _sync(chained(packed))
-                        compile_s = time.perf_counter() - t0
-                        best = float("inf")
-                        for _ in range(4):
-                            t0 = time.perf_counter()
-                            _sync(chained(packed))
-                            best = min(best, time.perf_counter() - t0)
-                    except Exception as e:
-                        print(f"ngptot={ngptot} sb={sb} lps={lps} {mode}: "
-                              f"FAILED {type(e).__name__}: {str(e)[:200]}",
-                              flush=True)
-                        continue
-                    per_iter = max(best - floor_s, 1e-9) / a.iters
-                    cols_s = ncol / per_iter
-                    rec = dict(ngptot=ngptot, sb=sb, lps=lps, mode=mode,
-                               skip=skip,
-                               ms_per_step=round(per_iter * 1e3, 3),
-                               cols_per_s=round(cols_s, 0),
-                               compile_s=round(compile_s, 1))
-                    results.append(rec)
-                    print(json.dumps(rec), flush=True)
+                        best = min(best, time.perf_counter() - t0)
+                except Exception as e:
+                    print(f"ngptot={ngptot} sb={sb} lps={lps} {mode}: "
+                          f"FAILED {type(e).__name__}: {str(e)[:200]}",
+                          flush=True)
+                    continue
+                per_iter = max(best - floor_s, 1e-9) / a.iters
+                cols_s = ncol / per_iter
+                rec = dict(ngptot=ngptot, sb=sb, lps=lps, mode=mode,
+                           skip=skip,
+                           ms_per_step=round(per_iter * 1e3, 3),
+                           cols_per_s=round(cols_s, 0),
+                           compile_s=round(compile_s, 1))
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
 
     if a.out:
         Path(a.out).write_text(json.dumps(results, indent=2))

@@ -101,14 +101,21 @@ def run_weak_scaling(device_counts, cpu: bool, out_path: str) -> int:
         print(f"  ndev={ndev}: {rec.get('value', 'FAILED')} cols/s/chip",
               flush=True)
 
-    base = next((r["value"] for r in results if r.get("value")), None)
+    # the efficiency base is strictly the SMALLEST mesh size; if that run
+    # failed, report no efficiencies rather than silently rebasing on a
+    # larger mesh (which already carries scaling losses)
+    smallest = min(results, key=lambda r: r["ndev"])
+    base = smallest.get("value") if smallest["rc"] == 0 else None
     hdr = f"{'ndev':>5} {'cols/s/chip':>14} {'efficiency':>11}"
     print("\n" + hdr + "\n" + "-" * len(hdr))
     for r in results:
         v = r.get("value")
-        eff = v / base if (v and base) else float("nan")
-        r["efficiency"] = round(eff, 4) if v and base else None
-        print(f"{r['ndev']:>5} {v if v else -1:>14} {eff:>10.1%}")
+        r["efficiency"] = round(v / base, 4) if (v and base) else None
+        eff_s = f"{v / base:>10.1%}" if (v and base) else f"{'n/a':>10}"
+        print(f"{r['ndev']:>5} {v if v else -1:>14} {eff_s}")
+    if base is None:
+        print(f"\nWARNING: ndev={smallest['ndev']} baseline run failed; "
+              "efficiencies not computed")
     if cpu:
         print("\nNOTE: --cpu mesh devices share one host's cores; this run "
               "validates the sharded path end-to-end, it is NOT an "

@@ -457,7 +457,6 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         if mode == "resident":
             # diagnostic: constant block windows -> the pipeline skips
             # refetches -> full compute with ~zero HBM streaming
-            look = lambda k: 0
             in_specs = [
                 pl.BlockSpec((lps, nrows, SB, LANES),
                              lambda i, k: (0, 0, i, 0),

@@ -101,11 +101,16 @@ class SchemeConfig(SimpleNamespace):
       ievaprain: 1 Sundqvist      | 2 Abel-Boutle-2013
       ievapsnow: 1 Sundqvist      | 2 PSD-based
       idepice:   1 Rotstayn-2001  | 2 ice-PSD-based
+    skip: DIAGNOSTICS ONLY (bench/kernel_lab.py section attribution) — tags
+    of physics sections to drop at trace time. Any entry makes the physics
+    wrong by construction; nothing on a production path sets it.
     """
 
-    def __init__(self, iwarmrain=2, ievaprain=2, ievapsnow=1, idepice=1):
+    def __init__(self, iwarmrain=2, ievaprain=2, ievapsnow=1, idepice=1,
+                 skip=()):
         super().__init__(iwarmrain=int(iwarmrain), ievaprain=int(ievaprain),
-                         ievapsnow=int(ievapsnow), idepice=int(idepice))
+                         ievapsnow=int(ievapsnow), idepice=int(idepice),
+                         skip=tuple(skip))
 
 
 def derived_consts(params, ptsphy: float, dtype,
@@ -142,14 +147,7 @@ def derived_consts(params, ptsphy: float, dtype,
     c.zvqx = (0.0, e.rvice, e.rvrain, e.rvsnow, 0.0)  # fall speed per species
     c.dtype = dtype
 
-    # DIAGNOSTICS ONLY (bench/kernel_lab.py): trace-time section skipping to
-    # attribute VPU time per physics section. Empty in production — any tag
-    # here makes the physics wrong by construction.
-    import os
-
-    c.skip = frozenset(
-        t for t in os.environ.get("CLOUDSC_SCHEME_SKIP", "").split(",") if t
-    )
+    c.skip = frozenset(getattr(cfg, "skip", ()))
     return c
 
 
