@@ -401,7 +401,7 @@ def _lps_for(nlev: int) -> int:
 
 
 def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
-           packed=False, config=None, mode="full"):
+           packed=False, config=None, mode="full", lps_cap=None):
     c = scheme.derived_consts(params, ptsphy, dtype, config)
     ktop = c.NCLDTOP - 1
     SB = sublanes
@@ -409,6 +409,8 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
     # packed mode integrates `lps` levels per grid step (the nlev+1
     # half-levels split exactly; the input pack is padded by one edge row)
     lps = _lps_for(nlev) if packed else 1
+    if lps_cap is not None:
+        lps = min(lps, lps_cap)
     nk2 = (nlev + 1) // lps
     grid = (ni, nk2)
 
@@ -688,15 +690,19 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
             p, ncol = pack_inputs(fields, sublanes, params, config)
         else:
             p, ncol = packed, ncol_packed
-        nlev = p["paph"].shape[0] - 1  # pack may carry a 2-level-block pad row
+        nlev = p["paph"].shape[0] - 1  # paph always has nlev+1 rows
         nblk = p["pack"].shape[2]
         dtype = p["pack"].dtype
         target = nblk * LANES
         if ncol is None:
             ncol = target
+        # an UNPADDED pack (built while CLOUDSC_PALLAS_LPS was 1) cannot feed
+        # a multi-level-per-step kernel: infer the pad from the buffer itself
+        # rather than trusting the env var to be unchanged since pack time
+        lps_cap = None if p["pack"].shape[0] > nlev else 1
         args = [p["pack"], p["nxt"], p["paph"], p["paph"], p["col"]]
         call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
-                      packed=True, config=config, mode=_mode)
+                      packed=True, config=config, mode=_mode, lps_cap=lps_cap)
         res = call(*args)
         return _assemble(res, nblk, ncol, target)
 
