@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from types import SimpleNamespace
 
+import jax
 import jax.numpy as jnp
 
 from .thermo import (
@@ -1030,90 +1031,126 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         schain([sneg(solqa[m][n]) for n in range(NCLV)]) for m in range(NCLV)
     ]
     zmax = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
-    zratio = [zmax[m] / jnp.maximum(zsinksum[m], zmax[m]) for m in range(NCLV)]
-    iz = jnp.zeros_like(ztp1, dtype=jnp.int32)
-    rank = []
+    # Dynamic fast path: when NO species overshoots anywhere in this batch
+    # (kernel: this column tile; scan: the whole batch), every scale factor
+    # is exactly 1.0 — zratio = zmax/max(sink, zmax) = zmax/zmax = 1, every
+    # round recomputes the same plain sums and divides zmax by zmax again,
+    # and the final application multiplies each entry by 1.0. The rescale is
+    # the bitwise identity, so the 5 sequential rounds (~26% of kernel VPU
+    # time, bench/lab3.json) are skipped entirely. Levels with no active
+    # sink anywhere are common (60% of the snapshot's levels measured in
+    # fp64), and the reference's own rescale self-disables the same way via
+    # its ratio formula (ref: 2492-2498).
+    no_overshoot = None
     for m in range(NCLV):
-        r = iz
-        for n in range(NCLV):
-            if n == m:
-                continue
-            if n < m:
-                r = r + (zratio[n] <= zratio[m]).astype(jnp.int32)
-            else:
-                r = r + (zratio[n] < zratio[m]).astype(jnp.int32)
-        rank.append(r)
-    # Lazy-scaling rounds. The sequential algorithm only ever applies TWO
-    # factors to an entry: ratio(row species, at its round) when the entry is
-    # negative, and ratio(column species, at its round) when the MIRRORED
-    # entry is negative (ref: 2566-2576). Since every species is selected
-    # exactly once, the round-r sink for species m needs the original row m
-    # with at most ONE prior factor applied — the column update from species n
-    # with rank[n] < rank[m] and a negative mirrored entry. With ratio_fin
-    # initialised to 1 and finalised rank-by-rank, a dense per-species sink
-    # recompute each round reproduces the sequential values exactly (same
-    # per-term products, same left-to-right summation); the factors are then
-    # applied per entry once at the end. Signs never change under the
-    # positive scalings, so all masks come from the original matrix.
-    neg0 = [
-        [None if solqa[m][n] is None else solqa[m][n] < 0.0
-         for n in range(NCLV)]
+        lvl_ok = jnp.all(zsinksum[m] <= zmax[m])
+        no_overshoot = lvl_ok if no_overshoot is None else (no_overshoot & lvl_ok)
+    sq_idx = [
+        (m, n)
         for m in range(NCLV)
+        for n in range(NCLV)
+        if solqa[m][n] is not None
     ]
-    # prec[m][n]: entry (m, n) receives species-n's column factor BEFORE
-    # species-m's own round
-    prec = [
-        [
-            None if (n == m or neg0[n][m] is None)   # rank[m] < rank[m] never
-            else (neg0[n][m] & (rank[n] < rank[m]))
-            for n in range(NCLV)
+
+    def _rescale_sinks(vals):
+        sq = [[None] * NCLV for _ in range(NCLV)]
+        for (m, n), v in zip(sq_idx, vals):
+            sq[m][n] = v
+        zratio = [
+            zmax[m] / jnp.maximum(zsinksum[m], zmax[m]) for m in range(NCLV)
         ]
-        for m in range(NCLV)
-    ]
-    one = jnp.ones_like(ztp1)
-    # Round 0 reuses the ordering ratio: with every ratio_fin still 1 the
-    # round-0 sink recompute is term-for-term (and summation-order) identical
-    # to zsinksum, so the first-selected species' factor IS zratio — bitwise.
-    # (ref: 2543-2560 recompute the same plain sum the ordering used at
-    # 2481-2498.) Rounds 1..NCLV-1 remain data-dependent.
-    ratio_fin = [
-        jnp.where(rank[m] == 0, zratio[m], one) for m in range(NCLV)
-    ]
-    zmaxe = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
-    for round_i in range(1, NCLV):
-        # exactly ONE species has rank == round_i per column, so the round's
-        # division is done once on the one-hot-selected (numerator,
-        # denominator) pair — bitwise identical to dividing per species
-        # (summing four exact zeros and one value changes no bits), and 4
-        # fewer VPU divides per round
-        sel = [rank[m] == round_i for m in range(NCLV)]
-        num = None
-        den = None
+        iz = jnp.zeros_like(ztp1, dtype=jnp.int32)
+        rank = []
         for m in range(NCLV):
-            sink = None
+            r = iz
             for n in range(NCLV):
-                if solqa[m][n] is None:
+                if n == m:
                     continue
-                v = solqa[m][n]
-                if prec[m][n] is not None:
-                    v = v * jnp.where(prec[m][n], ratio_fin[n], 1.0)
-                sink = sadd(sink, -v)
-            num = sadd(num, madd(sel[m], zmaxe[m]))
-            den = sadd(den, madd(sel[m], jnp.maximum(sink, zmaxe[m])))
-        ratio_sel = num / den
-        for m in range(NCLV):
-            ratio_fin[m] = jnp.where(sel[m], ratio_sel, ratio_fin[m])
+                if n < m:
+                    r = r + (zratio[n] <= zratio[m]).astype(jnp.int32)
+                else:
+                    r = r + (zratio[n] < zratio[m]).astype(jnp.int32)
+            rank.append(r)
+        # Lazy-scaling rounds. The sequential algorithm only ever applies TWO
+        # factors to an entry: ratio(row species, at its round) when the
+        # entry is negative, and ratio(column species, at its round) when the
+        # MIRRORED entry is negative (ref: 2566-2576). Since every species is
+        # selected exactly once, the round-r sink for species m needs the
+        # original row m with at most ONE prior factor applied — the column
+        # update from species n with rank[n] < rank[m] and a negative
+        # mirrored entry. With ratio_fin initialised to 1 and finalised
+        # rank-by-rank, a dense per-species sink recompute each round
+        # reproduces the sequential values exactly (same per-term products,
+        # same left-to-right summation); the factors are then applied per
+        # entry once at the end. Signs never change under the positive
+        # scalings, so all masks come from the original matrix.
+        neg0 = [
+            [None if sq[m][n] is None else sq[m][n] < 0.0
+             for n in range(NCLV)]
+            for m in range(NCLV)
+        ]
+        # prec[m][n]: entry (m, n) receives species-n's column factor BEFORE
+        # species-m's own round
+        prec = [
+            [
+                None if (n == m or neg0[n][m] is None)  # rank[m]<rank[m] never
+                else (neg0[n][m] & (rank[n] < rank[m]))
+                for n in range(NCLV)
+            ]
+            for m in range(NCLV)
+        ]
+        one = jnp.ones_like(ztp1)
+        # Round 0 reuses the ordering ratio: with every ratio_fin still 1 the
+        # round-0 sink recompute is term-for-term (and summation-order)
+        # identical to zsinksum, so the first-selected species' factor IS
+        # zratio — bitwise. (ref: 2543-2560 recompute the same plain sum the
+        # ordering used at 2481-2498.) Rounds 1..NCLV-1 remain data-dependent.
+        ratio_fin = [
+            jnp.where(rank[m] == 0, zratio[m], one) for m in range(NCLV)
+        ]
+        zmaxe = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
+        for round_i in range(1, NCLV):
+            # exactly ONE species has rank == round_i per column, so the
+            # round's division is done once on the one-hot-selected
+            # (numerator, denominator) pair — bitwise identical to dividing
+            # per species (summing four exact zeros and one value changes no
+            # bits), and 4 fewer VPU divides per round
+            sel = [rank[m] == round_i for m in range(NCLV)]
+            num = None
+            den = None
+            for m in range(NCLV):
+                sink = None
+                for n in range(NCLV):
+                    if sq[m][n] is None:
+                        continue
+                    v = sq[m][n]
+                    if prec[m][n] is not None:
+                        v = v * jnp.where(prec[m][n], ratio_fin[n], 1.0)
+                    sink = sadd(sink, -v)
+                num = sadd(num, madd(sel[m], zmaxe[m]))
+                den = sadd(den, madd(sel[m], jnp.maximum(sink, zmaxe[m])))
+            ratio_sel = num / den
+            for m in range(NCLV):
+                ratio_fin[m] = jnp.where(sel[m], ratio_sel, ratio_fin[m])
+        out = []
+        for m, n in sq_idx:
+            v = sq[m][n]
+            if neg0[m][n] is not None:
+                v = v * jnp.where(neg0[m][n], ratio_fin[m], 1.0)
+            if neg0[n][m] is not None:
+                v = v * jnp.where(neg0[n][m], ratio_fin[n], 1.0)
+            out.append(v)
+        return tuple(out)
+
     if "s521" not in c.skip:
-        for m in range(NCLV):
-            for n in range(NCLV):
-                if solqa[m][n] is None:
-                    continue
-                v = solqa[m][n]
-                if neg0[m][n] is not None:
-                    v = v * jnp.where(neg0[m][n], ratio_fin[m], 1.0)
-                if neg0[n][m] is not None:
-                    v = v * jnp.where(neg0[n][m], ratio_fin[n], 1.0)
-                solqa[m][n] = v
+        scaled = jax.lax.cond(
+            no_overshoot,
+            lambda vals: vals,
+            _rescale_sinks,
+            tuple(solqa[m][n] for m, n in sq_idx),
+        )
+        for (m, n), v in zip(sq_idx, scaled):
+            solqa[m][n] = v
 
     # ==============================================================
     # 5.2.2 implicit 5x5 solve (LHS build + non-pivoting LU,
