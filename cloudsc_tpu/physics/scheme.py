@@ -95,6 +95,21 @@ def schain(terms):
     return acc
 
 
+def inert_skip(mask, active_fn, ops):
+    """Dynamic fast path for a physics region that is inert wherever `mask`
+    is False: when the mask is False EVERYWHERE in the batch (Pallas kernel:
+    this column tile; scan engine: the whole batch), the region's increments
+    are exactly zero and its `where(mask, ...)` updates are the identity, so
+    returning the operands unchanged is value-exact. Mosaic lowers the
+    scalar-predicate `lax.cond` to a real branch. Branch+join overhead is
+    material (~0.3 ms/step each at benchmark size), so this is only worth it
+    for LARGE bodies — one cond around a whole region, not one per section
+    (measured: 8 per-section conds were a net 2.7 ms/step LOSS —
+    docs/PERFORMANCE.md). `active_fn` must read every array it modifies from
+    `ops` (not close over it) and return the updated tuple."""
+    return jax.lax.cond(jnp.any(mask), active_fn, lambda o: o, ops)
+
+
 class SchemeConfig(SimpleNamespace):
     """Scheme-version switches (ref: cloudsc.F90:562-580). The reference
     hardcodes (2, 2, 1, 1); the alternates are implemented and selectable:
@@ -644,289 +659,416 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         has_pre, jnp.maximum(zcovptot, carry["zcovpmax"]), 0.0
     )
 
-    # 4.3a snow autoconversion, Lin et al. 1983 (ref: 1789-1811)
-    snow_m = (ztp1 <= RTT) & (zicecld > ZEPSEC)
-    zzco = ptsphy * e.rsnowlin1 * jnp.exp(e.rsnowlin2 * (ztp1 - RTT))
-    if c.LAERICEAUTO:
-        zlcrit = x["picrit_aer"]
-        zzco = zzco * (e.rnice / x["pnice"]) ** 0.333
-    else:
-        zlcrit = e.rlcritsnow
-    zsnowaut = zzco * (1.0 - jnp.exp(-((zicecld / zlcrit) ** 2)))
-    if "s43a" not in c.skip:
-        solqb[IS][II] = sadd(solqb[IS][II], madd(snow_m, zsnowaut))
-
-    # 4.3b warm-rain autoconversion/accretion (ref: 1819-1927)
-    liq_m = zliqcld > ZEPSEC
-    if c.IWARMRAIN == 1:  # Sundqvist (1989), implicit (ref: 1826-1874)
-        zzco = e.rkconv * ptsphy
-        if c.LAERLIQAUTOLSP:
-            zlcrit = x["plcrit_aer"]
-            zzco = zzco * (e.rccn / x["pccn"]) ** 0.333
-        else:
-            zlcrit = jnp.where(land, e.rclcrit_land, e.rclcrit_sea)
-        # collection enhancement from precipitation flux through the cloud
-        zprecip = (pfplsx_row[IS] + pfplsx_row[IR]) / jnp.maximum(
-            ZEPSEC, zcovptot
-        )
-        zcfpr = 1.0 + e.rprc1 * jnp.sqrt(jnp.maximum(zprecip, 0.0))
-        if c.LAERLIQCOLL:
-            zcfpr = zcfpr * (e.rccn / x["pccn"]) ** 0.333
-        zzco = zzco * zcfpr
-        zlcrit = zlcrit / jnp.maximum(zcfpr, ZEPSEC)
-        # exp guarded against overflow for large arguments (ref: 1864-1868)
-        zarg = zliqcld / zlcrit
-        zrainaut = jnp.where(
-            zarg < 20.0,
-            zzco * (1.0 - jnp.exp(-(zarg * zarg))),
-            zzco,
-        )
-        cold = ztp1 <= RTT
-        solqb[IS][IL] = sadd(solqb[IS][IL], madd(liq_m & cold, zrainaut))
-        solqb[IR][IL] = sadd(solqb[IR][IL], madd(liq_m & ~cold, zrainaut))
-    elif c.IWARMRAIN == 2:  # Khairoutdinov and Kogan (2000)
-        # the CCN-number power has a compile-time base on land and sea:
-        # fold zconst**RCL_KKBauN into the land/sea select
-        zconst_pow = jnp.where(
-            land,
-            e.rcl_kk_cloud_num_land ** e.rcl_kkbaun,
-            e.rcl_kk_cloud_num_sea ** e.rcl_kkbaun,
-        )
-        zlcrit = jnp.where(land, e.rclcrit_land, e.rclcrit_sea)
-        above = zliqcld > zlcrit
-        zrainaut = (
-            1.5 * za * ptsphy
-            * e.rcl_kkaau
-            * jnp.maximum(zliqcld, 0.0) ** e.rcl_kkbauq
-            * zconst_pow
-        )
-        zrainaut = jnp.minimum(zrainaut, zqxfg[IL])
-        zrainaut = jnp.where(zrainaut < ZEPSEC, 0.0, zrainaut)
-        zrainacc = (
-            2.0 * za * ptsphy
-            * e.rcl_kkaac
-            * jnp.maximum(zliqcld * zraincld, 0.0) ** e.rcl_kkbac
-        )
-        zrainacc = jnp.minimum(zrainacc, zqxfg[IL])
-        zrainacc = jnp.where(zrainacc < ZEPSEC, 0.0, zrainacc)
-        zrainaut = jnp.where(above, zrainaut, 0.0)
-        zrainacc = jnp.where(above, zrainacc, 0.0)
-        cold = ztp1 <= RTT
-        if "s43b" not in c.skip:
-            for dst, sel_c in ((IS, cold), (IR, ~cold)):
-                mm = liq_m & sel_c
-                solqa[dst][IL] = sadd(solqa[dst][IL], madd(mm, zrainaut))
-                solqa[dst][IL] = sadd(solqa[dst][IL], madd(mm, zrainacc))
-                solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainaut))
-                solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainacc))
-    else:
-        raise NotImplementedError(f"IWARMRAIN={c.IWARMRAIN} unknown")
-
-    # riming: snow collects cloud liquid (ref: 1935-1980)
-    rime_m = (ztp1 <= RTT) & (zliqcld > ZEPSEC)
-    zfallcorr = (e.rdensref / zrho) ** 0.4
-    rime2 = rime_m & (zsnowcld > ZEPSEC) & (zcovptot > 0.01)
-    rime_base = jnp.maximum(zrho * zsnowcld * e.rcl_const1s, 0.0)
-    zsnowrime = (
-        0.3 * zcovptot * ptsphy * e.rcl_const7s * zfallcorr
-        * rime_base ** e.rcl_const8s
-    )
-    zsnowrime = jnp.minimum(zsnowrime, 1.0)
-    if "s43c" not in c.skip:
-        solqb[IS][IL] = sadd(solqb[IS][IL], madd(rime2, zsnowrime))
-
-    # 4.4a melting of snow and ice (ref: 1990-2034)
-    zicetot = zqxfg[II] + zqxfg[IS]
-    melt_m = (zicetot > ZEPSEC) & (ztp1 > RTT)
-    zsubsat = jnp.maximum(zqsice - zqx[IV], 0.0)
-    ztdmtw0 = ztp1 - RTT - zsubsat * (
-        ZTW1 + ZTW2 * (pap - ZTW3) - ZTW4 * (ztp1 - ZTW5)
-    )
-    zcons1 = jnp.abs(ptsphy * (1.0 + 0.5 * ztdmtw0) / e.rtaumel)
-    zmeltmax = madd(melt_m, jnp.maximum(ztdmtw0 * zcons1 * zrldcp, 0.0))
-    if "s44a" not in c.skip:
-        for m in (II, IS):
-            n = IMELT[m]
-            mm = (zmeltmax > ZEPSEC) & (zicetot > ZEPSEC)
-            zalfa_m = zqxfg[m] / jnp.where(mm, zicetot, 1.0)
-            zmelt = jnp.minimum(zqxfg[m], zalfa_m * zmeltmax)
-            amt = madd(mm, zmelt)
-            zqxfg[m] = zqxfg[m] - amt
-            zqxfg[n] = zqxfg[n] + amt
-            solqa[n][m] = sadd(solqa[n][m], amt)
-            solqa[m][n] = sadd(solqa[m][n], -amt)
-
-    # 4.4b freezing of rain (ref: 2039-2094)
+    # ================================================================
+    # 4.3a-4.5 precipitation microphysics block (ref: 1789-2421)
+    # ================================================================
+    # Every process in this block needs condensate or precipitation at the
+    # level; `blk_m` is a cheap superset of every per-process guard, so when
+    # it is False everywhere in the batch the whole block is value-exact
+    # inert and ONE branch skips its ~10 transcendentals (see inert_skip;
+    # per-section branches measured as a net loss). 4.4b's rain-fraction
+    # latch is hoisted out of the branch: it writes the level carries and
+    # depends only on start-of-level state (ref: 2044-2056).
     rain_p = zqx[IR] > ZEPSEC
     latch = rain_p & (ztp1 <= RTT) & (x["ztp1_prev"] > RTT)
     zqpretot_f = jnp.maximum(zqx[IS] + zqx[IR], ZEPSEC)
     prainfrac = jnp.where(latch, zqx[IR] / zqpretot_f, carry["prainfrac"])
     # pure logical form (a bool-valued select does not lower on Mosaic)
     llrainliq = (latch & (prainfrac > 0.8)) | (~latch & carry["llrainliq"])
+
+    snow_m = (ztp1 <= RTT) & (zicecld > ZEPSEC)
+    liq_m = zliqcld > ZEPSEC
+    rime_m = (ztp1 <= RTT) & (zliqcld > ZEPSEC)
+    zfallcorr = (e.rdensref / zrho) ** 0.4
+    rime2 = rime_m & (zsnowcld > ZEPSEC) & (zcovptot > 0.01)
+    zicetot = zqxfg[II] + zqxfg[IS]
+    melt_m = (zicetot > ZEPSEC) & (ztp1 > RTT)
     frz_cold = rain_p & (ztp1 < RTT)
-    lam_den = jnp.where(rain_p, zrho * zqx[IR], 1.0)
-    # ZLAMBDA**RCL_CONST6R with the exponents folded into one real power
-    zlambda_c6 = (e.rcl_fac1 / lam_den) ** (e.rcl_fac2 * e.rcl_const6r)
-    ztemp = e.rcl_fzrab * (ztp1 - RTT)
-    zfrz_het = (
-        ptsphy * (e.rcl_const5r / zrho)
-        * (jnp.exp(ztemp) - 1.0)
-        * zlambda_c6
+    # Superset of every guard below: 4.3a snow_m; 4.3b/4.3c liq_m (rime2
+    # implies it); 4.4a melt_m; 4.4b frz_cold; 4.4c needs zqxfg[IL] > eps
+    # which implies liq_m (zliqcld = zqxfg[IL]/max(za,eps) >= zqxfg[IL]);
+    # 4.5r needs rain, which inside the block only appears via melt
+    # (zqxfg[IR] | melt_m covers it); 4.5s needs snow, which the block only
+    # ever decreases (zqxfg[IS] covers it).
+    blk_m = (
+        snow_m | liq_m | melt_m | frz_cold
+        | (zqxfg[IR] > ZEPSEC) | (zqxfg[IS] > ZEPSEC)
     )
-    zfrzmax_liq = jnp.maximum(zfrz_het, 0.0)
-    zcons1f = jnp.abs(ptsphy * (1.0 + 0.5 * (RTT - ztp1)) / e.rtaumel)
-    zfrzmax_mix = jnp.maximum((RTT - ztp1) * zcons1f * zrldcp, 0.0)
-    zfrzmax = jnp.where(llrainliq, zfrzmax_liq, zfrzmax_mix)
-    frz_m = frz_cold & (zfrzmax > ZEPSEC)
-    zfrz = jnp.minimum(zqx[IR], zfrzmax)
-    if "s44b" not in c.skip:
-        amt = madd(frz_m, zfrz)
-        solqa[IS][IR] = sadd(solqa[IS][IR], amt)
-        solqa[IR][IS] = sadd(solqa[IR][IS], -amt)
+    _blk_a = [
+        (IS, IL), (IR, IL), (IL, IS), (IL, IR),   # 4.3b warm rain (KK2000)
+        (IR, II), (II, IR), (IR, IS), (IS, IR),   # 4.4a melt + 4.4b freeze
+        (II, IL), (IL, II),                       # 4.4c homogeneous freeze
+        (IV, IR), (IR, IV), (IV, IS), (IS, IV),   # 4.5 evap/sublimation
+    ]
+    _blk_b = [(IS, II), (IS, IL), (IR, IL)]       # 4.3a / 4.3b(v1) / 4.3c
+    _na, _nb = len(_blk_a), len(_blk_b)
+    _sqa0, _sqb0, _qf0 = solqa, solqb, zqxfg
 
-    # 4.4c freezing of liquid (ref: 2099-2112)
-    zfrzmax = jnp.maximum((e.rthomo - ztp1) * zrldcp, 0.0)
-    frz_m = (zfrzmax > ZEPSEC) & (zqxfg[IL] > ZEPSEC)
-    zfrz = jnp.minimum(zqxfg[IL], zfrzmax)
-    if "s44c" not in c.skip:
-        amt = madd(frz_m, zfrz)
-        solqa[II][IL] = sadd(solqa[II][IL], amt)
-        solqa[IL][II] = sadd(solqa[IL][II], -amt)
+    def _precip_active(ops):
+        # shadow the threaded structures with local copies seeded from the
+        # branch operands; the section code below is textually identical to
+        # the unbranched formulation
+        solqa = [row[:] for row in _sqa0]
+        solqb = [row[:] for row in _sqb0]
+        zqxfg = list(_qf0)
+        for (m, n), v in zip(_blk_a, ops[:_na]):
+            solqa[m][n] = v
+        for (m, n), v in zip(_blk_b, ops[_na:_na + _nb]):
+            solqb[m][n] = v
+        zqxfg[II], zqxfg[IS], zqxfg[IR], zcovptot = ops[_na + _nb:]
 
-    # 4.5 rain evaporation (ref: 2114-2281)
-    if c.IEVAPRAIN == 1:  # Sundqvist scheme (ref: 2121-2184)
-        zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
-            ZEPSEC, 1.0 - za
-        )
-        zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
-        zqe = (zqx[IV] - za * zqsliq) / jnp.maximum(ZEPSEC, 1.0 - za)
-        zqe = jnp.maximum(0.0, jnp.minimum(zqe, zqsliq))
-        llo1 = (
-            (zcovpclr > ZEPSEC)
-            & (zqxfg[IR] > ZEPSEC)
-            & (zqe < zzrh * zqsliq)
-        )
-        denom = zcovptot * zdtgdp
-        denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), zepsilon)
-        denom = jnp.where(denom == 0.0, zepsilon, denom)
-        zpreclr = zqxfg[IR] * zcovpclr / denom
-        zbeta1 = (
-            jnp.sqrt(pap / paph_surf)
-            / e.rvrfactor
-            * zpreclr
-            / jnp.maximum(zcovpclr, ZEPSEC)
-        )
-        zbeta = RG * e.rpecons * 0.5 * jnp.maximum(zbeta1, 0.0) ** 0.5777
-        zdenom = 1.0 + zbeta * ptsphy * zcorqsliq
-        zdpr = zcovpclr * zbeta * (zqsliq - zqe) / zdenom * zdp * zrg_r
-        zdpevap = zdpr * zdtgdp
-        zevap = jnp.minimum(zdpevap, zqxfg[IR])
-        amt = madd(llo1, zevap)
-        solqa[IV][IR] = sadd(solqa[IV][IR], amt)
-        solqa[IR][IV] = sadd(solqa[IR][IV], -amt)
-        zcovptot = jnp.where(
-            llo1,
-            jnp.maximum(
-                e.rcovpmin,
-                zcovptot
-                - jnp.maximum(
-                    0.0,
-                    (zcovptot - za) * zevap / jnp.where(llo1, zqxfg[IR], 1.0),
-                ),
-            ),
-            zcovptot,
-        )
-        zqxfg[IR] = zqxfg[IR] - amt
-    elif c.IEVAPRAIN == 2:
-        zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
-            ZEPSEC, 1.0 - za
-        )
-        zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
-        zzrh = jnp.minimum(0.8, zzrh)
-        zqe = jnp.maximum(0.0, jnp.minimum(zqx[IV], zqsliq))
-        llo1 = (
-            (zcovpclr > ZEPSEC)
-            & (zqxfg[IR] > ZEPSEC)
-            & (zqe < zzrh * zqsliq)
-        )
-        zpreclr = zqxfg[IR] / jnp.where(llo1, zcovptot, 1.0)
-        zesatliq = RV / RD * x["zfoeeliq"]
-        lam_den = jnp.where(llo1, zrho * zpreclr, 1.0)
-        lam_base = e.rcl_fac1 / lam_den
-        # T**3._JPRB is a *real* power in the Fortran; x*x*x differs by ulps
-        # only and stays far inside the validation tolerance
-        zevap_denom = (
-            e.rcl_cdenom1 * zesatliq
-            - e.rcl_cdenom2 * ztp1 * zesatliq
-            + e.rcl_cdenom3 * (ztp1 * ztp1 * ztp1) * pap
-        )
-        ztq = ztp1 / 273.0
-        zcorr2 = ztq * jnp.sqrt(ztq) * 393.0 / (ztp1 + 120.0)  # (T/273)**1.5
-        zsubsat = jnp.maximum(zzrh * zqsliq - zqe, 0.0)
-        zbeta = (
-            (0.5 / zqsliq) * ztp1**2 * zesatliq
-            * e.rcl_const1r
-            * (zcorr2 / zevap_denom)
-            * (
-                0.78 / lam_base ** (e.rcl_fac2 * e.rcl_const4r)
-                + e.rcl_const2r
-                * jnp.sqrt(zrho * zfallcorr)
-                / (jnp.sqrt(zcorr2) * lam_base ** (e.rcl_fac2 * e.rcl_const3r))
+        # 4.3a snow autoconversion, Lin et al. 1983 (ref: 1789-1811)
+        zzco = ptsphy * e.rsnowlin1 * jnp.exp(e.rsnowlin2 * (ztp1 - RTT))
+        if c.LAERICEAUTO:
+            zlcrit = x["picrit_aer"]
+            zzco = zzco * (e.rnice / x["pnice"]) ** 0.333
+        else:
+            zlcrit = e.rlcritsnow
+        zsnowaut = zzco * (1.0 - jnp.exp(-((zicecld / zlcrit) ** 2)))
+        if "s43a" not in c.skip:
+            solqb[IS][II] = sadd(solqb[IS][II], madd(snow_m, zsnowaut))
+
+        # 4.3b warm-rain autoconversion/accretion (ref: 1819-1927)
+        if c.IWARMRAIN == 1:  # Sundqvist (1989), implicit (ref: 1826-1874)
+            zzco = e.rkconv * ptsphy
+            if c.LAERLIQAUTOLSP:
+                zlcrit = x["plcrit_aer"]
+                zzco = zzco * (e.rccn / x["pccn"]) ** 0.333
+            else:
+                zlcrit = jnp.where(land, e.rclcrit_land, e.rclcrit_sea)
+            # collection enhancement from precipitation flux through the cloud
+            zprecip = (pfplsx_row[IS] + pfplsx_row[IR]) / jnp.maximum(
+                ZEPSEC, zcovptot
             )
+            zcfpr = 1.0 + e.rprc1 * jnp.sqrt(jnp.maximum(zprecip, 0.0))
+            if c.LAERLIQCOLL:
+                zcfpr = zcfpr * (e.rccn / x["pccn"]) ** 0.333
+            zzco = zzco * zcfpr
+            zlcrit = zlcrit / jnp.maximum(zcfpr, ZEPSEC)
+            # exp guarded against overflow for large arguments (ref: 1864-1868)
+            zarg = zliqcld / zlcrit
+            zrainaut = jnp.where(
+                zarg < 20.0,
+                zzco * (1.0 - jnp.exp(-(zarg * zarg))),
+                zzco,
+            )
+            cold = ztp1 <= RTT
+            solqb[IS][IL] = sadd(solqb[IS][IL], madd(liq_m & cold, zrainaut))
+            solqb[IR][IL] = sadd(solqb[IR][IL], madd(liq_m & ~cold, zrainaut))
+        elif c.IWARMRAIN == 2:  # Khairoutdinov and Kogan (2000)
+            # the CCN-number power has a compile-time base on land and sea:
+            # fold zconst**RCL_KKBauN into the land/sea select
+            zconst_pow = jnp.where(
+                land,
+                e.rcl_kk_cloud_num_land ** e.rcl_kkbaun,
+                e.rcl_kk_cloud_num_sea ** e.rcl_kkbaun,
+            )
+            zlcrit = jnp.where(land, e.rclcrit_land, e.rclcrit_sea)
+            above = zliqcld > zlcrit
+            zrainaut = (
+                1.5 * za * ptsphy
+                * e.rcl_kkaau
+                * jnp.maximum(zliqcld, 0.0) ** e.rcl_kkbauq
+                * zconst_pow
+            )
+            zrainaut = jnp.minimum(zrainaut, zqxfg[IL])
+            zrainaut = jnp.where(zrainaut < ZEPSEC, 0.0, zrainaut)
+            zrainacc = (
+                2.0 * za * ptsphy
+                * e.rcl_kkaac
+                * jnp.maximum(zliqcld * zraincld, 0.0) ** e.rcl_kkbac
+            )
+            zrainacc = jnp.minimum(zrainacc, zqxfg[IL])
+            zrainacc = jnp.where(zrainacc < ZEPSEC, 0.0, zrainacc)
+            zrainaut = jnp.where(above, zrainaut, 0.0)
+            zrainacc = jnp.where(above, zrainacc, 0.0)
+            cold = ztp1 <= RTT
+            if "s43b" not in c.skip:
+                for dst, sel_c in ((IS, cold), (IR, ~cold)):
+                    mm = liq_m & sel_c
+                    solqa[dst][IL] = sadd(solqa[dst][IL], madd(mm, zrainaut))
+                    solqa[dst][IL] = sadd(solqa[dst][IL], madd(mm, zrainacc))
+                    solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainaut))
+                    solqa[IL][dst] = sadd(solqa[IL][dst], -madd(mm, zrainacc))
+        else:
+            raise NotImplementedError(f"IWARMRAIN={c.IWARMRAIN} unknown")
+
+        # riming: snow collects cloud liquid (ref: 1935-1980)
+        rime_base = jnp.maximum(zrho * zsnowcld * e.rcl_const1s, 0.0)
+        zsnowrime = (
+            0.3 * zcovptot * ptsphy * e.rcl_const7s * zfallcorr
+            * rime_base ** e.rcl_const8s
         )
-        zdenom = 1.0 + zbeta * ptsphy
-        zdpevap = zcovpclr * zbeta * ptsphy * zsubsat / zdenom
-        zevap = jnp.minimum(zdpevap, zqxfg[IR])
-        if "s45r" not in c.skip:
-            amt = madd(llo1, zevap)
-            solqa[IV][IR] = sadd(solqa[IV][IR], amt)
-            solqa[IR][IV] = sadd(solqa[IR][IV], -amt)
-            zcovptot = jnp.where(
-                llo1,
-                jnp.maximum(
-                    e.rcovpmin,
-                    zcovptot
-                    - jnp.maximum(
-                        0.0,
-                        (zcovptot - za) * zevap
-                        / jnp.where(llo1, zqxfg[IR], 1.0),
+        zsnowrime = jnp.minimum(zsnowrime, 1.0)
+        if "s43c" not in c.skip:
+            solqb[IS][IL] = sadd(solqb[IS][IL], madd(rime2, zsnowrime))
+
+        # 4.4a melting of snow and ice (ref: 1990-2034)
+        zsubsat = jnp.maximum(zqsice - zqx[IV], 0.0)
+        ztdmtw0 = ztp1 - RTT - zsubsat * (
+            ZTW1 + ZTW2 * (pap - ZTW3) - ZTW4 * (ztp1 - ZTW5)
+        )
+        zcons1 = jnp.abs(ptsphy * (1.0 + 0.5 * ztdmtw0) / e.rtaumel)
+        zmeltmax = madd(melt_m, jnp.maximum(ztdmtw0 * zcons1 * zrldcp, 0.0))
+        if "s44a" not in c.skip:
+            for m in (II, IS):
+                n = IMELT[m]
+                mm = (zmeltmax > ZEPSEC) & (zicetot > ZEPSEC)
+                zalfa_m = zqxfg[m] / jnp.where(mm, zicetot, 1.0)
+                zmelt = jnp.minimum(zqxfg[m], zalfa_m * zmeltmax)
+                amt = madd(mm, zmelt)
+                zqxfg[m] = zqxfg[m] - amt
+                zqxfg[n] = zqxfg[n] + amt
+                solqa[n][m] = sadd(solqa[n][m], amt)
+                solqa[m][n] = sadd(solqa[m][n], -amt)
+
+        # 4.4c freezing of liquid (ref: 2099-2112) — runs before the rain
+        # sub-branch below; this commutes bitwise with 4.4b/4.5r (disjoint
+        # solqa entries, disjoint zqxfg species, no shared temporaries)
+        zfrzmax = jnp.maximum((e.rthomo - ztp1) * zrldcp, 0.0)
+        frz_m = (zfrzmax > ZEPSEC) & (zqxfg[IL] > ZEPSEC)
+        zfrz = jnp.minimum(zqxfg[IL], zfrzmax)
+        if "s44c" not in c.skip:
+            amt = madd(frz_m, zfrz)
+            solqa[II][IL] = sadd(solqa[II][IL], amt)
+            solqa[IL][II] = sadd(solqa[IL][II], -amt)
+
+        # ---- rain sub-branch: 4.4b freezing + 4.5 rain evaporation ------
+        # the only processes that need rain; value-exact inert when no rain
+        # exists at the level (rain lives only below the melting layer, so
+        # this skips the Abel-Boutle PSD transcendentals on most levels)
+        rain_m2 = rain_p | (zqxfg[IR] > ZEPSEC)
+        _rsqa0 = [solqa[IS][IR], solqa[IR][IS], solqa[IV][IR], solqa[IR][IV]]
+
+        def _rain_active(ops):
+            sa_sr, sa_rs, sa_vr, sa_rv, covp, qf_r = ops
+            # 4.4b freezing of rain (ref: 2039-2094)
+            lam_den = jnp.where(rain_p, zrho * zqx[IR], 1.0)
+            # ZLAMBDA**RCL_CONST6R with the exponents folded into one power
+            zlambda_c6 = (e.rcl_fac1 / lam_den) ** (e.rcl_fac2 * e.rcl_const6r)
+            ztemp = e.rcl_fzrab * (ztp1 - RTT)
+            zfrz_het = (
+                ptsphy * (e.rcl_const5r / zrho)
+                * (jnp.exp(ztemp) - 1.0)
+                * zlambda_c6
+            )
+            zfrzmax_liq = jnp.maximum(zfrz_het, 0.0)
+            zcons1f = jnp.abs(ptsphy * (1.0 + 0.5 * (RTT - ztp1)) / e.rtaumel)
+            zfrzmax_mix = jnp.maximum((RTT - ztp1) * zcons1f * zrldcp, 0.0)
+            zfrzmax = jnp.where(llrainliq, zfrzmax_liq, zfrzmax_mix)
+            frz_m = frz_cold & (zfrzmax > ZEPSEC)
+            zfrz = jnp.minimum(zqx[IR], zfrzmax)
+            if "s44b" not in c.skip:
+                amt = madd(frz_m, zfrz)
+                sa_sr = amt if _rsqa0[0] is None else sadd(sa_sr, amt)
+                sa_rs = -amt if _rsqa0[1] is None else sadd(sa_rs, -amt)
+
+            # 4.5 rain evaporation (ref: 2114-2281)
+            if c.IEVAPRAIN == 1:  # Sundqvist scheme (ref: 2121-2184)
+                zzrh = e.rprecrhmax + (
+                    1.0 - e.rprecrhmax
+                ) * zcovpmax / jnp.maximum(ZEPSEC, 1.0 - za)
+                zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
+                zqe = (zqx[IV] - za * zqsliq) / jnp.maximum(ZEPSEC, 1.0 - za)
+                zqe = jnp.maximum(0.0, jnp.minimum(zqe, zqsliq))
+                llo1 = (
+                    (zcovpclr > ZEPSEC)
+                    & (qf_r > ZEPSEC)
+                    & (zqe < zzrh * zqsliq)
+                )
+                denom = covp * zdtgdp
+                denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), zepsilon)
+                denom = jnp.where(denom == 0.0, zepsilon, denom)
+                zpreclr = qf_r * zcovpclr / denom
+                zbeta1 = (
+                    jnp.sqrt(pap / paph_surf)
+                    / e.rvrfactor
+                    * zpreclr
+                    / jnp.maximum(zcovpclr, ZEPSEC)
+                )
+                zbeta = (
+                    RG * e.rpecons * 0.5 * jnp.maximum(zbeta1, 0.0) ** 0.5777
+                )
+                zdenom = 1.0 + zbeta * ptsphy * zcorqsliq
+                zdpr = zcovpclr * zbeta * (zqsliq - zqe) / zdenom * zdp * zrg_r
+                zdpevap = zdpr * zdtgdp
+                zevap = jnp.minimum(zdpevap, qf_r)
+                amt = madd(llo1, zevap)
+                sa_vr = amt if _rsqa0[2] is None else sadd(sa_vr, amt)
+                sa_rv = -amt if _rsqa0[3] is None else sadd(sa_rv, -amt)
+                covp = jnp.where(
+                    llo1,
+                    jnp.maximum(
+                        e.rcovpmin,
+                        covp
+                        - jnp.maximum(
+                            0.0,
+                            (covp - za) * zevap / jnp.where(llo1, qf_r, 1.0),
+                        ),
                     ),
-                ),
-                zcovptot,
-            )
-            zqxfg[IR] = zqxfg[IR] - amt
-    else:
-        raise NotImplementedError(f"IEVAPRAIN={c.IEVAPRAIN} unknown")
+                    covp,
+                )
+                qf_r = qf_r - amt
+            elif c.IEVAPRAIN == 2:
+                zzrh = e.rprecrhmax + (
+                    1.0 - e.rprecrhmax
+                ) * zcovpmax / jnp.maximum(ZEPSEC, 1.0 - za)
+                zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
+                zzrh = jnp.minimum(0.8, zzrh)
+                zqe = jnp.maximum(0.0, jnp.minimum(zqx[IV], zqsliq))
+                llo1 = (
+                    (zcovpclr > ZEPSEC)
+                    & (qf_r > ZEPSEC)
+                    & (zqe < zzrh * zqsliq)
+                )
+                zpreclr = qf_r / jnp.where(llo1, covp, 1.0)
+                zesatliq = RV / RD * x["zfoeeliq"]
+                lam_den = jnp.where(llo1, zrho * zpreclr, 1.0)
+                lam_base = e.rcl_fac1 / lam_den
+                # T**3._JPRB is a *real* power in the Fortran; x*x*x differs
+                # by ulps only, far inside the validation tolerance
+                zevap_denom = (
+                    e.rcl_cdenom1 * zesatliq
+                    - e.rcl_cdenom2 * ztp1 * zesatliq
+                    + e.rcl_cdenom3 * (ztp1 * ztp1 * ztp1) * pap
+                )
+                ztq = ztp1 / 273.0
+                zcorr2 = ztq * jnp.sqrt(ztq) * 393.0 / (ztp1 + 120.0)
+                zsubsat = jnp.maximum(zzrh * zqsliq - zqe, 0.0)
+                zbeta = (
+                    (0.5 / zqsliq) * ztp1**2 * zesatliq
+                    * e.rcl_const1r
+                    * (zcorr2 / zevap_denom)
+                    * (
+                        0.78 / lam_base ** (e.rcl_fac2 * e.rcl_const4r)
+                        + e.rcl_const2r
+                        * jnp.sqrt(zrho * zfallcorr)
+                        / (
+                            jnp.sqrt(zcorr2)
+                            * lam_base ** (e.rcl_fac2 * e.rcl_const3r)
+                        )
+                    )
+                )
+                zdenom = 1.0 + zbeta * ptsphy
+                zdpevap = zcovpclr * zbeta * ptsphy * zsubsat / zdenom
+                zevap = jnp.minimum(zdpevap, qf_r)
+                if "s45r" not in c.skip:
+                    amt = madd(llo1, zevap)
+                    sa_vr = amt if _rsqa0[2] is None else sadd(sa_vr, amt)
+                    sa_rv = -amt if _rsqa0[3] is None else sadd(sa_rv, -amt)
+                    covp = jnp.where(
+                        llo1,
+                        jnp.maximum(
+                            e.rcovpmin,
+                            covp
+                            - jnp.maximum(
+                                0.0,
+                                (covp - za) * zevap
+                                / jnp.where(llo1, qf_r, 1.0),
+                            ),
+                        ),
+                        covp,
+                    )
+                    qf_r = qf_r - amt
+            else:
+                raise NotImplementedError(f"IEVAPRAIN={c.IEVAPRAIN} unknown")
+            return (sa_sr, sa_rs, sa_vr, sa_rv, covp, qf_r)
 
-    # 4.5 snow sublimation, Sundqvist (ref: 2289-2347)
-    if c.IEVAPSNOW == 1:
-        zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
-            ZEPSEC, 1.0 - za
+        (
+            solqa[IS][IR], solqa[IR][IS], solqa[IV][IR], solqa[IR][IV],
+            zcovptot, zqxfg[IR],
+        ) = inert_skip(
+            rain_m2,
+            _rain_active,
+            (
+                *(zero if v is None else v for v in _rsqa0),
+                zcovptot,
+                zqxfg[IR],
+            ),
         )
-        zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
-        zqe = (zqx[IV] - za * zqsice) / jnp.maximum(ZEPSEC, 1.0 - za)
-        zqe = jnp.maximum(0.0, jnp.minimum(zqe, zqsice))
-        llo1 = (
-            (zcovpclr > ZEPSEC)
-            & (zqxfg[IS] > ZEPSEC)
-            & (zqe < zzrh * zqsice)
-        )
-        denom = zcovptot * zdtgdp
-        denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), zepsilon)
-        denom = jnp.where(denom == 0.0, zepsilon, denom)
-        zpreclr = zqxfg[IS] * zcovpclr / denom
-        zbeta1 = (
-            jnp.sqrt(pap / paph_surf)
-            / e.rvrfactor
-            * zpreclr
-            / jnp.maximum(zcovpclr, ZEPSEC)
-        )
-        zbeta = RG * e.rpecons * jnp.maximum(zbeta1, 0.0) ** 0.5777
-        zdenom = 1.0 + zbeta * ptsphy * zcorqsice
-        zdpr = zcovpclr * zbeta * (zqsice - zqe) / zdenom * zdp * zrg_r
-        zdpevap = zdpr * zdtgdp
-        zevap = jnp.minimum(zdpevap, zqxfg[IS])
-        if "s45s" not in c.skip:
+
+        # 4.5 snow sublimation, Sundqvist (ref: 2289-2347)
+        if c.IEVAPSNOW == 1:
+            zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
+                ZEPSEC, 1.0 - za
+            )
+            zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
+            zqe = (zqx[IV] - za * zqsice) / jnp.maximum(ZEPSEC, 1.0 - za)
+            zqe = jnp.maximum(0.0, jnp.minimum(zqe, zqsice))
+            llo1 = (
+                (zcovpclr > ZEPSEC)
+                & (zqxfg[IS] > ZEPSEC)
+                & (zqe < zzrh * zqsice)
+            )
+            denom = zcovptot * zdtgdp
+            denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), zepsilon)
+            denom = jnp.where(denom == 0.0, zepsilon, denom)
+            zpreclr = zqxfg[IS] * zcovpclr / denom
+            zbeta1 = (
+                jnp.sqrt(pap / paph_surf)
+                / e.rvrfactor
+                * zpreclr
+                / jnp.maximum(zcovpclr, ZEPSEC)
+            )
+            zbeta = RG * e.rpecons * jnp.maximum(zbeta1, 0.0) ** 0.5777
+            zdenom = 1.0 + zbeta * ptsphy * zcorqsice
+            zdpr = zcovpclr * zbeta * (zqsice - zqe) / zdenom * zdp * zrg_r
+            zdpevap = zdpr * zdtgdp
+            zevap = jnp.minimum(zdpevap, zqxfg[IS])
+            if "s45s" not in c.skip:
+                amt = madd(llo1, zevap)
+                solqa[IV][IS] = sadd(solqa[IV][IS], amt)
+                solqa[IS][IV] = sadd(solqa[IS][IV], -amt)
+                zcovptot = jnp.where(
+                    llo1,
+                    jnp.maximum(
+                        e.rcovpmin,
+                        zcovptot
+                        - jnp.maximum(
+                            0.0,
+                            (zcovptot - za) * zevap
+                            / jnp.where(llo1, zqxfg[IS], 1.0),
+                        ),
+                    ),
+                    zcovptot,
+                )
+                zqxfg[IS] = zqxfg[IS] - amt
+        elif c.IEVAPSNOW == 2:  # PSD-based sublimation (ref: 2349-2419)
+            zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
+                ZEPSEC, 1.0 - za
+            )
+            zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
+            zqe = (zqx[IV] - za * zqsice) / jnp.maximum(ZEPSEC, 1.0 - za)
+            zqe = jnp.maximum(0.0, jnp.minimum(zqe, zqsice))
+            llo1 = (
+                (zcovpclr > ZEPSEC)
+                & (zqx[IS] > ZEPSEC)
+                & (zqe < zzrh * zqsice)
+            )
+            zpreclr = zqx[IS] / jnp.where(llo1, jnp.maximum(zcovptot, ZEPSEC), 1.0)
+            zvpice2 = x["zfoeeice"] * RV / RD
+            # ZTCG = ZFACX1S = 1 (ref: 2382-2387)
+            zaplusb = (
+                e.rcl_apb1 * zvpice2 - e.rcl_apb2 * zvpice2 * ztp1
+                + pap * e.rcl_apb3 * (ztp1 * ztp1 * ztp1)
+            )
+            zcorrfac = jnp.sqrt(1.0 / zrho)
+            ztq = ztp1 / 273.0
+            zcorrfac2 = ztq * jnp.sqrt(ztq) * (393.0 / (ztp1 + 120.0))
+            zpr02 = zrho * zpreclr * e.rcl_const1s
+            zterm1 = (
+                (zqsice - zqe) * ztp1**2 * zvpice2 * zcorrfac2
+                * e.rcl_const2s / (zrho * zaplusb * zqsice)
+            )
+            zterm2 = (
+                0.65 * e.rcl_const6s * zpr02 ** e.rcl_const4s
+                + e.rcl_const3s * jnp.sqrt(zcorrfac) * jnp.sqrt(zrho)
+                * zpr02 ** e.rcl_const5s / jnp.sqrt(zcorrfac2)
+            )
+            zdpevap = jnp.maximum(zcovpclr * zterm1 * zterm2 * ptsphy, 0.0)
+            zevaplimice = jnp.maximum((zqsice - zqx[IV]) / zcorqsice, 0.0)
+            zevap = jnp.minimum(zdpevap, zevaplimice)
+            zevap = jnp.minimum(zevap, zqx[IS])
             amt = madd(llo1, zevap)
             solqa[IV][IS] = sadd(solqa[IV][IS], amt)
             solqa[IS][IV] = sadd(solqa[IS][IV], -amt)
@@ -937,67 +1079,32 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
                     zcovptot
                     - jnp.maximum(
                         0.0,
-                        (zcovptot - za) * zevap
-                        / jnp.where(llo1, zqxfg[IS], 1.0),
+                        (zcovptot - za) * zevap / jnp.where(llo1, zqx[IS], 1.0),
                     ),
                 ),
                 zcovptot,
             )
             zqxfg[IS] = zqxfg[IS] - amt
-    elif c.IEVAPSNOW == 2:  # PSD-based sublimation (ref: 2349-2419)
-        zzrh = e.rprecrhmax + (1.0 - e.rprecrhmax) * zcovpmax / jnp.maximum(
-            ZEPSEC, 1.0 - za
+        else:
+            raise NotImplementedError(f"IEVAPSNOW={c.IEVAPSNOW} unknown")
+
+        return (
+            *(solqa[m][n] for m, n in _blk_a),
+            *(solqb[m][n] for m, n in _blk_b),
+            zqxfg[II], zqxfg[IS], zqxfg[IR], zcovptot,
         )
-        zzrh = jnp.minimum(jnp.maximum(zzrh, e.rprecrhmax), 1.0)
-        zqe = (zqx[IV] - za * zqsice) / jnp.maximum(ZEPSEC, 1.0 - za)
-        zqe = jnp.maximum(0.0, jnp.minimum(zqe, zqsice))
-        llo1 = (
-            (zcovpclr > ZEPSEC)
-            & (zqx[IS] > ZEPSEC)
-            & (zqe < zzrh * zqsice)
-        )
-        zpreclr = zqx[IS] / jnp.where(llo1, jnp.maximum(zcovptot, ZEPSEC), 1.0)
-        zvpice2 = x["zfoeeice"] * RV / RD
-        # ZTCG = ZFACX1S = 1 (ref: 2382-2387)
-        zaplusb = (
-            e.rcl_apb1 * zvpice2 - e.rcl_apb2 * zvpice2 * ztp1
-            + pap * e.rcl_apb3 * (ztp1 * ztp1 * ztp1)
-        )
-        zcorrfac = jnp.sqrt(1.0 / zrho)
-        ztq = ztp1 / 273.0
-        zcorrfac2 = ztq * jnp.sqrt(ztq) * (393.0 / (ztp1 + 120.0))
-        zpr02 = zrho * zpreclr * e.rcl_const1s
-        zterm1 = (
-            (zqsice - zqe) * ztp1**2 * zvpice2 * zcorrfac2
-            * e.rcl_const2s / (zrho * zaplusb * zqsice)
-        )
-        zterm2 = (
-            0.65 * e.rcl_const6s * zpr02 ** e.rcl_const4s
-            + e.rcl_const3s * jnp.sqrt(zcorrfac) * jnp.sqrt(zrho)
-            * zpr02 ** e.rcl_const5s / jnp.sqrt(zcorrfac2)
-        )
-        zdpevap = jnp.maximum(zcovpclr * zterm1 * zterm2 * ptsphy, 0.0)
-        zevaplimice = jnp.maximum((zqsice - zqx[IV]) / zcorqsice, 0.0)
-        zevap = jnp.minimum(zdpevap, zevaplimice)
-        zevap = jnp.minimum(zevap, zqx[IS])
-        amt = madd(llo1, zevap)
-        solqa[IV][IS] = sadd(solqa[IV][IS], amt)
-        solqa[IS][IV] = sadd(solqa[IS][IV], -amt)
-        zcovptot = jnp.where(
-            llo1,
-            jnp.maximum(
-                e.rcovpmin,
-                zcovptot
-                - jnp.maximum(
-                    0.0,
-                    (zcovptot - za) * zevap / jnp.where(llo1, zqx[IS], 1.0),
-                ),
-            ),
-            zcovptot,
-        )
-        zqxfg[IS] = zqxfg[IS] - amt
-    else:
-        raise NotImplementedError(f"IEVAPSNOW={c.IEVAPSNOW} unknown")
+
+    _ops = (
+        *(zero if solqa[m][n] is None else solqa[m][n] for m, n in _blk_a),
+        *(zero if solqb[m][n] is None else solqb[m][n] for m, n in _blk_b),
+        zqxfg[II], zqxfg[IS], zqxfg[IR], zcovptot,
+    )
+    _out = inert_skip(blk_m, _precip_active, _ops)
+    for (m, n), v in zip(_blk_a, _out[:_na]):
+        solqa[m][n] = v
+    for (m, n), v in zip(_blk_b, _out[_na:_na + _nb]):
+        solqb[m][n] = v
+    zqxfg[II], zqxfg[IS], zqxfg[IR], zcovptot = _out[_na + _nb:]
 
     # 4.6 evaporate small precipitation amounts (ref: 2426-2435)
     if "s46" not in c.skip:
