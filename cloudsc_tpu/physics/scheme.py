@@ -95,7 +95,7 @@ def schain(terms):
     return acc
 
 
-def inert_skip(mask, active_fn, ops):
+def inert_skip(mask, active_fn, ops, force=None):
     """Dynamic fast path for a physics region that is inert wherever `mask`
     is False: when the mask is False EVERYWHERE in the batch (Pallas kernel:
     this column tile; scan engine: the whole batch), the region's increments
@@ -106,8 +106,15 @@ def inert_skip(mask, active_fn, ops):
     for LARGE bodies — one cond around a whole region, not one per section
     (measured: 8 per-section conds were a net 2.7 ms/step LOSS —
     docs/PERFORMANCE.md). `active_fn` must read every array it modifies from
-    `ops` (not close over it) and return the updated tuple."""
-    return jax.lax.cond(jnp.any(mask), active_fn, lambda o: o, ops)
+    `ops` (not close over it) and return the updated tuple. `force`
+    (a traced always-True scalar) pins the predicate on THROUGH the same
+    lax.cond, so branch codegen is unchanged — the oracle configuration the
+    inertness tests diff against (inlining the branch instead would change
+    XLA fusion and add ulp noise)."""
+    pred = jnp.any(mask)
+    if force is not None:
+        pred = pred | force
+    return jax.lax.cond(pred, active_fn, lambda o: o, ops)
 
 
 class SchemeConfig(SimpleNamespace):
@@ -123,10 +130,11 @@ class SchemeConfig(SimpleNamespace):
     """
 
     def __init__(self, iwarmrain=2, ievaprain=2, ievapsnow=1, idepice=1,
-                 skip=()):
+                 skip=(), dynamic_skips=True):
         super().__init__(iwarmrain=int(iwarmrain), ievaprain=int(ievaprain),
                          ievapsnow=int(ievapsnow), idepice=int(idepice),
-                         skip=tuple(skip))
+                         skip=tuple(skip),
+                         dynamic_skips=bool(dynamic_skips))
 
 
 def derived_consts(params, ptsphy: float, dtype,
@@ -164,6 +172,9 @@ def derived_consts(params, ptsphy: float, dtype,
     c.dtype = dtype
 
     c.skip = frozenset(getattr(cfg, "skip", ()))
+    # False = always trace the active branch (tests prove the dynamic
+    # fast paths are value-exact by diffing against this)
+    c.dynamic_skips = bool(getattr(cfg, "dynamic_skips", True))
     return c
 
 
@@ -301,6 +312,10 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     pfplsx_row = carry["pfplsx"]
 
     zero = jnp.zeros_like(ztp1)
+    # test hook: a traced always-True scalar that pins every dynamic
+    # fast-path predicate ON without changing branch codegen
+    force_on = (None if c.dynamic_skips
+                else jnp.any(jnp.isfinite(ztp1)))
     dtype = ztp1.dtype
 
     def madd(mask, v):
@@ -985,6 +1000,7 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
                 zcovptot,
                 zqxfg[IR],
             ),
+            force=force_on,
         )
 
         # 4.5 snow sublimation, Sundqvist (ref: 2289-2347)
@@ -1099,7 +1115,7 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         *(zero if solqb[m][n] is None else solqb[m][n] for m, n in _blk_b),
         zqxfg[II], zqxfg[IS], zqxfg[IR], zcovptot,
     )
-    _out = inert_skip(blk_m, _precip_active, _ops)
+    _out = inert_skip(blk_m, _precip_active, _ops, force=force_on)
     for (m, n), v in zip(_blk_a, _out[:_na]):
         solqa[m][n] = v
     for (m, n), v in zip(_blk_b, _out[_na:_na + _nb]):
@@ -1250,11 +1266,12 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         return tuple(out)
 
     if "s521" not in c.skip:
+        vals0 = tuple(solqa[m][n] for m, n in sq_idx)
+        pred_skip = no_overshoot
+        if force_on is not None:
+            pred_skip = pred_skip & jnp.logical_not(force_on)
         scaled = jax.lax.cond(
-            no_overshoot,
-            lambda vals: vals,
-            _rescale_sinks,
-            tuple(solqa[m][n] for m, n in sq_idx),
+            pred_skip, lambda vals: vals, _rescale_sinks, vals0
         )
         for (m, n), v in zip(sq_idx, scaled):
             solqa[m][n] = v

@@ -41,6 +41,42 @@ def test_expansion_replicates(input_100, params):
         np.testing.assert_allclose(b[..., :100], a, rtol=1e-13, atol=0.0)
 
 
+def test_dynamic_skips_are_inert(input_100, params):
+    """The dynamic fast paths must be value-exact, not approximations.
+
+    Runs the scan engine with every `inert_skip`/no-overshoot branch forced
+    to the active body (`SchemeConfig(dynamic_skips=False)`) and diffs
+    against the production configuration at the same shape. Any skipped
+    region that is not bitwise-inert shows up as a nonzero diff (identical
+    shapes mean identical XLA codegen, so there is no ulp noise to hide
+    behind).
+    """
+    import jax.numpy as jnp
+
+    from cloudsc_tpu.physics import cloudsc, make_inputs
+    from cloudsc_tpu.physics.scheme import SchemeConfig
+
+    fields = make_inputs(input_100, dtype=jnp.float64)
+    fast = jax.jit(lambda f: cloudsc(f, params, input_100.ptsphy))(fields)
+    slow = jax.jit(
+        lambda f: cloudsc(
+            f, params, input_100.ptsphy,
+            config=SchemeConfig(dynamic_skips=False),
+        )
+    )(fields)
+    jax.block_until_ready((fast, slow))
+    for name in ("plude", "pcovptot", "pfplsl", "pfplsn", "tendency_loc_t",
+                 "tendency_loc_q", "tendency_loc_a", "tendency_loc_cld",
+                 "prainfrac_toprfz", "pfhpsn", "pfsqlf", "pfcqnng"):
+        a = np.asarray(getattr(fast, name))
+        b = np.asarray(getattr(slow, name))
+        diff = a - b
+        assert np.all(diff == 0.0), (
+            f"{name}: dynamic skip is not inert "
+            f"(max abs diff {np.abs(diff).max()})"
+        )
+
+
 def test_padding_invariance(input_100, params):
     """Zero-padded tail columns must not perturb real columns."""
     from cloudsc_tpu.runtime.driver import CloudscDriver
