@@ -77,6 +77,46 @@ def test_dynamic_skips_are_inert(input_100, params):
         )
 
 
+def test_dynamic_skips_inert_alternates_and_rain(input_100, params):
+    """Inertness of the fast paths under the alternate scheme versions and
+    under a synthetic RAINING state (the snapshot has no rain, so without it
+    the rain sub-branch's active body would never be compared)."""
+    import jax.numpy as jnp
+
+    from cloudsc_tpu.physics import cloudsc, make_inputs
+    from cloudsc_tpu.physics.scheme import SchemeConfig
+    from test_scheme_versions import _raining_fields
+
+    base = make_inputs(input_100, dtype=jnp.float64)
+    rainy = _raining_fields(input_100, jnp.float64)
+    cases = [
+        (base, dict(iwarmrain=1)),
+        (base, dict(ievapsnow=2)),
+        (base, dict(idepice=2)),
+        (rainy, {}),
+        (rainy, dict(ievaprain=1)),
+    ]
+    for fields, kw in cases:
+        fast = jax.jit(
+            lambda f: cloudsc(f, params, input_100.ptsphy,
+                              config=SchemeConfig(**kw))
+        )(fields)
+        slow = jax.jit(
+            lambda f: cloudsc(f, params, input_100.ptsphy,
+                              config=SchemeConfig(dynamic_skips=False, **kw))
+        )(fields)
+        jax.block_until_ready((fast, slow))
+        for name in ("pcovptot", "pfplsl", "pfplsn", "tendency_loc_t",
+                     "tendency_loc_q", "tendency_loc_cld"):
+            diff = np.asarray(getattr(fast, name)) - np.asarray(
+                getattr(slow, name)
+            )
+            assert np.all(diff == 0.0), (
+                f"{name} not inert under {kw} "
+                f"(max abs diff {np.abs(diff).max()})"
+            )
+
+
 def test_padding_invariance(input_100, params):
     """Zero-padded tail columns must not perturb real columns."""
     from cloudsc_tpu.runtime.driver import CloudscDriver
