@@ -755,7 +755,11 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             zprecip = (pfplsx_row[IS] + pfplsx_row[IR]) / jnp.maximum(
                 ZEPSEC, zcovptot
             )
-            zcfpr = 1.0 + e.rprc1 * jnp.sqrt(jnp.maximum(zprecip, 0.0))
+            pr_pos = zprecip > 0.0
+            pr_sqrt = jnp.where(
+                pr_pos, jnp.sqrt(jnp.where(pr_pos, zprecip, 1.0)), 0.0
+            )
+            zcfpr = 1.0 + e.rprc1 * pr_sqrt
             if c.LAERLIQCOLL:
                 zcfpr = zcfpr * (e.rccn / x["pccn"]) ** 0.333
             zzco = zzco * zcfpr
@@ -810,9 +814,18 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
 
         # riming: snow collects cloud liquid (ref: 1935-1980)
         rime_base = jnp.maximum(zrho * zsnowcld * e.rcl_const1s, 0.0)
+        # adjoint-safe power: d(x**p)/dx at x=0 is inf for p<1; the guarded
+        # form has a BITWISE-identical forward value (0**p = 0) and a zero
+        # cotangent at the clamp, keeping jax.grad/vjp finite
+        rime_pos = rime_base > 0.0
+        rime_pow = jnp.where(
+            rime_pos,
+            jnp.where(rime_pos, rime_base, 1.0) ** e.rcl_const8s,
+            0.0,
+        )
         zsnowrime = (
             0.3 * zcovptot * ptsphy * e.rcl_const7s * zfallcorr
-            * rime_base ** e.rcl_const8s
+            * rime_pow
         )
         zsnowrime = jnp.minimum(zsnowrime, 1.0)
         if "s43c" not in c.skip:
@@ -901,9 +914,11 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
                     * zpreclr
                     / jnp.maximum(zcovpclr, ZEPSEC)
                 )
-                zbeta = (
-                    RG * e.rpecons * 0.5 * jnp.maximum(zbeta1, 0.0) ** 0.5777
+                b1_pos = zbeta1 > 0.0
+                b1_pow = jnp.where(
+                    b1_pos, jnp.where(b1_pos, zbeta1, 1.0) ** 0.5777, 0.0
                 )
+                zbeta = RG * e.rpecons * 0.5 * b1_pow
                 zdenom = 1.0 + zbeta * ptsphy * zcorqsliq
                 zdpr = zcovpclr * zbeta * (zqsliq - zqe) / zdenom * zdp * zrg_r
                 zdpevap = zdpr * zdtgdp
@@ -1026,7 +1041,11 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
                 * zpreclr
                 / jnp.maximum(zcovpclr, ZEPSEC)
             )
-            zbeta = RG * e.rpecons * jnp.maximum(zbeta1, 0.0) ** 0.5777
+            b1_pos = zbeta1 > 0.0
+            b1_pow = jnp.where(
+                b1_pos, jnp.where(b1_pos, zbeta1, 1.0) ** 0.5777, 0.0
+            )
+            zbeta = RG * e.rpecons * b1_pow
             zdenom = 1.0 + zbeta * ptsphy * zcorqsice
             zdpr = zcovpclr * zbeta * (zqsice - zqe) / zdenom * zdp * zrg_r
             zdpevap = zdpr * zdtgdp
@@ -1076,10 +1095,14 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
                 (zqsice - zqe) * ztp1**2 * zvpice2 * zcorrfac2
                 * e.rcl_const2s / (zrho * zaplusb * zqsice)
             )
+            p2_pos = zpr02 > 0.0
+            zpr02s = jnp.where(p2_pos, zpr02, 1.0)
             zterm2 = (
-                0.65 * e.rcl_const6s * zpr02 ** e.rcl_const4s
+                0.65 * e.rcl_const6s
+                * jnp.where(p2_pos, zpr02s ** e.rcl_const4s, 0.0)
                 + e.rcl_const3s * jnp.sqrt(zcorrfac) * jnp.sqrt(zrho)
-                * zpr02 ** e.rcl_const5s / jnp.sqrt(zcorrfac2)
+                * jnp.where(p2_pos, zpr02s ** e.rcl_const5s, 0.0)
+                / jnp.sqrt(zcorrfac2)
             )
             zdpevap = jnp.maximum(zcovpclr * zterm1 * zterm2 * ptsphy, 0.0)
             zevaplimice = jnp.maximum((zqsice - zqx[IV]) / zcorqsice, 0.0)
