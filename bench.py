@@ -92,7 +92,6 @@ def main() -> int:
     driver = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32, nproma=128,
                            backend=backend, use_mesh=use_mesh)
     fields, ncol = driver.prepare(inp)
-    call = driver.fn_for(ncol)
     if driver.mesh is not None:
         # the packed pytree shards over the column-BLOCK axis (-2), the field
         # dict over the trailing column axis — mixing them up would "shard"
@@ -105,29 +104,9 @@ def main() -> int:
         fields = jax.device_put(fields)
     jax.block_until_ready(fields)
 
-    # zero-scaled data dependency keeps every iteration live, value-exact
-    if driver.packed:
-        dep_key = "col"
-
-        def body(_, fs):
-            out = call(fs)
-            fs = dict(fs)
-            fs["col"] = fs["col"] + 0.0 * out.prainfrac_toprfz.reshape(
-                1, -1, 128
-            )
-            return fs
-    else:
-        dep_key = "pt"
-
-        def body(_, fs):
-            out = call(fs)
-            fs = dict(fs)
-            fs["pt"] = fs["pt"] + 0.0 * out.tendency_loc_t
-            return fs
-
-    chained = jax.jit(
-        lambda fs: jax.lax.fori_loop(0, iters, body, fs)[dep_key]
-    )
+    # iterations chained in one dispatch with a zero-scaled data dependency
+    # (driver.chained_fn — the same path the CLI perf table uses)
+    chained = driver.chained_fn(ncol, iters)
     _sync(chained(fields))  # compile + warmup
 
     floor = _dispatch_floor()

@@ -175,7 +175,8 @@ def main(argv=None) -> int:
     if rank0:
         timer.print_performance(args.nproma, ngpblks, ngptot,
                                 numomp=args.numomp, rank=rank,
-                                rank_rows=rank_rows)
+                                rank_rows=rank_rows,
+                                iterations=args.iterations)
         print(
             f" device compute: {timings.compute_s * 1e3:9.3f} ms | h2d:"
             f" {timings.h2d_s * 1e3:9.3f} ms | d2h: {timings.d2h_s * 1e3:9.3f} ms |"

@@ -166,6 +166,39 @@ class CloudscDriver:
 
     # -- execution ---------------------------------------------------------------
 
+    def chained_fn(self, ncol: int, iterations: int):
+        """`iterations` scheme steps chained inside ONE jitted fori_loop.
+
+        Through a tunneled chip every dispatch carries ~30 ms of fixed
+        overhead, so timing a Python loop of dispatches measures the tunnel,
+        not the device (docs/PERFORMANCE.md methodology). A zero-scaled data
+        dependency threads each step's output into the next step's input —
+        value-exact, and XLA cannot hoist the loop-invariant step out.
+        Returns a jitted fn: payload -> the dependency array (sync target).
+        """
+        call = self.fn_for(ncol)
+        if self.packed:
+            def body(_, fs):
+                out = call(fs)
+                fs = dict(fs)
+                fs["col"] = fs["col"] + 0.0 * out.prainfrac_toprfz.reshape(
+                    1, -1, 128
+                )
+                return fs
+
+            dep = "col"
+        else:
+            def body(_, fs):
+                out = call(fs)
+                fs = dict(fs)
+                fs["pt"] = fs["pt"] + 0.0 * out.tendency_loc_t
+                return fs
+
+            dep = "pt"
+        return jax.jit(
+            lambda fs: jax.lax.fori_loop(0, iterations, body, fs)[dep]
+        )
+
     def run(self, inp, iterations: int = 1, warmup: bool = True,
             fetch_outputs: bool = True):
         """Run the scheme; returns (outputs, Timings, PerformanceTimer).
@@ -192,9 +225,16 @@ class CloudscDriver:
         jax.block_until_ready(fields)
         timings.h2d_s = time.perf_counter() - t0
 
+        chained = None
         if warmup:
             t0 = time.perf_counter()
             out = sync(fn(fields))
+            if iterations > 1:
+                # chain the timed loop in one dispatch (per-dispatch tunnel
+                # overhead would otherwise dominate the perf table); warm it
+                # up here so the timed region sees no compile
+                chained = self.chained_fn(ncol, iterations)
+                jax.block_until_ready(chained(fields))
             timings.compile_s = time.perf_counter() - t0
 
         # one row per device: SPMD executes the same program on every mesh
@@ -211,9 +251,12 @@ class CloudscDriver:
         sampler.start()
         timer.start()
         t0 = time.perf_counter()
-        for _ in range(iterations):
-            out = fn(fields)
-        out = sync(out)
+        if chained is not None:
+            jax.block_until_ready(chained(fields))
+        else:
+            for _ in range(iterations):
+                out = fn(fields)
+            out = sync(out)
         timings.compute_s = (time.perf_counter() - t0) / iterations
         timer.end()
         timings.energy_line = sampler.stop_and_report()

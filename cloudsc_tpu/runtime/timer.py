@@ -76,7 +76,7 @@ class PerformanceTimer:
 
     def performance_lines(self, nproma: int, ngpblks: int, ngptot: int,
                           numomp: int | None = None, rank: int = 0,
-                          rank_rows=None) -> list[str]:
+                          rank_rows=None, iterations: int = 1) -> list[str]:
         """The reference throughput table (ref: timer_mod.F90:169-187).
 
         `rank_rows` is the cross-process perf gather — (nprocs, 2) rows of
@@ -112,7 +112,10 @@ class PerformanceTimer:
                 lines.append(row(r, float(tloc), int(cols), f"@ rank#{r}"))
 
         tdiff = self.tend - self.tstart
-        gcols = ngptot
+        # the timer span covers every iteration, so the TOTAL throughput
+        # counts every processed column (the reference runs its block loop
+        # once; `iterations` is this framework's repeat knob)
+        gcols = ngptot * iterations
         if rank_rows is not None and len(rank_rows) > 1:
             tdiff = float(max(t for t, _ in rank_rows))
             gcols = int(sum(c for _, c in rank_rows))
@@ -135,7 +138,8 @@ class PerformanceTimer:
 
     def print_performance(self, nproma: int, ngpblks: int, ngptot: int,
                           numomp: int | None = None, rank: int = 0,
-                          rank_rows=None):
+                          rank_rows=None, iterations: int = 1):
         print("\n".join(self.performance_lines(
             nproma, ngpblks, ngptot, numomp, rank=rank, rank_rows=rank_rows,
+            iterations=iterations,
         )))
