@@ -146,11 +146,15 @@ def main(argv=None) -> int:
             f"NGPTOTG={ngptotg}, NPROMA={args.nproma}, NGPBLKS={ngpblks}"
         )
 
-    # snapshot hooks need full host outputs; mesh runs otherwise validate on
-    # device (norm reductions, never a field gather — ref: validate_mod.F90)
+    # snapshot hooks need full host outputs; otherwise accelerator runs
+    # validate on device (norm reductions, never a field gather — exactly the
+    # reference, ref: validate_mod.F90:148-151; fetching full outputs over
+    # the ~20 MB/s tunneled link costs ~40 s at 65K columns). CPU runs keep
+    # the host path (golden workflows diff full fields).
     write_input = args.write_input or os.environ.get("CLOUDSC_WRITE_INPUT")
     write_ref = args.write_reference or os.environ.get("CLOUDSC_WRITE_REFERENCE")
-    fetch = (not args.mesh) or bool(write_ref)
+    on_accel = jax.default_backend() != "cpu"
+    fetch = bool(write_ref) or (not args.mesh and not on_accel)
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -199,10 +203,11 @@ def main(argv=None) -> int:
 
             import jax.numpy as jnp
 
-            ref_dev = shard_fields(
-                {k: jnp.asarray(v, dtype) for k, v in ref.items()},
-                driver.mesh,
-            )
+            ref_cast = {k: jnp.asarray(v, dtype) for k, v in ref.items()}
+            if driver.mesh is not None:
+                ref_dev = shard_fields(ref_cast, driver.mesh)
+            else:
+                ref_dev = jax.device_put(ref_cast)
             norms = np.asarray(device_field_norms(out, ref_dev))
             validate_from_norms(norms, ngptotg, print_table=rank0,
                                 multiprocess=nranks > 1)
