@@ -35,6 +35,22 @@ def test_cli_serial_golden(numomp):
     assert any("PLUDE" in l for l in lines)
 
 
+def test_cli_chained_iterations():
+    """--iterations > 1 takes the chained fori_loop timing path
+    (driver.chained_fn); the validation table must be identical to a
+    single-iteration run since the chained loop is timing-only."""
+    rc, out = _run(["1", "100", "16", "--precision", "fp64",
+                    "--iterations", "2"])
+    assert rc == 0
+    rc1, out1 = _run(["1", "100", "16", "--precision", "fp64"])
+    tbl = [l for l in out.splitlines() if l.startswith(" P")]
+    tbl1 = [l for l in out1.splitlines() if l.startswith(" P")]
+    assert tbl and tbl == tbl1
+    # the TOTAL row counts every processed column (2 passes over NGPTOT)
+    total = next(l for l in out.splitlines() if l.rstrip().endswith(": TOTAL"))
+    assert "       200" in total
+
+
 def test_cli_write_reference(tmp_path):
     ref_out = tmp_path / "ref_regen.h5"
     rc, out = _run([
