@@ -73,7 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    for name in ("numomp", "ngptot", "nproma", "iterations"):
+        if getattr(args, name) < 1:
+            parser.error(f"{name} must be >= 1 (got {getattr(args, name)})")
 
     import jax
 
