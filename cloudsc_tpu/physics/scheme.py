@@ -866,6 +866,9 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         # exists at the level (rain lives only below the melting layer, so
         # this skips the Abel-Boutle PSD transcendentals on most levels)
         rain_m2 = rain_p | (zqxfg[IR] > ZEPSEC)
+        # inside _precip_active every threaded solqa entry was seeded
+        # from the ops tuple (zero arrays for structurally-absent ones),
+        # so the sub-branch operands are never None
         _rsqa0 = [solqa[IS][IR], solqa[IR][IS], solqa[IV][IR], solqa[IR][IV]]
 
         def _rain_active(ops):
@@ -888,8 +891,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             zfrz = jnp.minimum(zqx[IR], zfrzmax)
             if "s44b" not in c.skip:
                 amt = madd(frz_m, zfrz)
-                sa_sr = amt if _rsqa0[0] is None else sadd(sa_sr, amt)
-                sa_rs = -amt if _rsqa0[1] is None else sadd(sa_rs, -amt)
+                sa_sr = sadd(sa_sr, amt)
+                sa_rs = sadd(sa_rs, -amt)
 
             # 4.5 rain evaporation (ref: 2114-2281)
             if c.IEVAPRAIN == 1:  # Sundqvist scheme (ref: 2121-2184)
@@ -924,8 +927,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
                 zdpevap = zdpr * zdtgdp
                 zevap = jnp.minimum(zdpevap, qf_r)
                 amt = madd(llo1, zevap)
-                sa_vr = amt if _rsqa0[2] is None else sadd(sa_vr, amt)
-                sa_rv = -amt if _rsqa0[3] is None else sadd(sa_rv, -amt)
+                sa_vr = sadd(sa_vr, amt)
+                sa_rv = sadd(sa_rv, -amt)
                 covp = jnp.where(
                     llo1,
                     jnp.maximum(
@@ -984,8 +987,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
                 zevap = jnp.minimum(zdpevap, qf_r)
                 if "s45r" not in c.skip:
                     amt = madd(llo1, zevap)
-                    sa_vr = amt if _rsqa0[2] is None else sadd(sa_vr, amt)
-                    sa_rv = -amt if _rsqa0[3] is None else sadd(sa_rv, -amt)
+                    sa_vr = sadd(sa_vr, amt)
+                    sa_rv = sadd(sa_rv, -amt)
                     covp = jnp.where(
                         llo1,
                         jnp.maximum(
@@ -1187,10 +1190,13 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     # sink anywhere are common (60% of the snapshot's levels measured in
     # fp64), and the reference's own rescale self-disables the same way via
     # its ratio formula (ref: 2492-2498).
-    no_overshoot = None
-    for m in range(NCLV):
-        lvl_ok = jnp.all(zsinksum[m] <= zmax[m])
-        no_overshoot = lvl_ok if no_overshoot is None else (no_overshoot & lvl_ok)
+    def _no_overshoot():
+        acc = None
+        for m in range(NCLV):
+            lvl_ok = jnp.all(zsinksum[m] <= zmax[m])
+            acc = lvl_ok if acc is None else (acc & lvl_ok)
+        return acc
+
     sq_idx = [
         (m, n)
         for m in range(NCLV)
@@ -1290,7 +1296,7 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
 
     if "s521" not in c.skip:
         vals0 = tuple(solqa[m][n] for m, n in sq_idx)
-        pred_skip = no_overshoot
+        pred_skip = _no_overshoot()
         if force_on is not None:
             pred_skip = pred_skip & jnp.logical_not(force_on)
         scaled = jax.lax.cond(

@@ -35,6 +35,16 @@ def sync(out):
     return out
 
 
+def sync_slice(x):
+    """Completion barrier for a single array: fetch ONE element (sliced on
+    device, so only bytes for one scalar cross the link). The timed-loop
+    barrier — sync() would pull the smallest output leaf, which for the
+    chained-timing dependency array is the whole ~MB buffer (~100 ms over
+    the ~20 MB/s tunneled link, polluting the measurement)."""
+    np.asarray(x[(0,) * (x.ndim - 1)][:1])
+    return x
+
+
 class CloudscDriver:
     def __init__(self, params, ptsphy: float, dtype=None, nproma: int = 128,
                  mesh=None, use_mesh: bool = False, backend: str = "auto",
@@ -234,7 +244,7 @@ class CloudscDriver:
                 # overhead would otherwise dominate the perf table); warm it
                 # up here so the timed region sees no compile
                 chained = self.chained_fn(ncol, iterations)
-                jax.block_until_ready(chained(fields))
+                sync_slice(chained(fields))
             timings.compile_s = time.perf_counter() - t0
 
         # one row per device: SPMD executes the same program on every mesh
@@ -252,7 +262,7 @@ class CloudscDriver:
         timer.start()
         t0 = time.perf_counter()
         if chained is not None:
-            jax.block_until_ready(chained(fields))
+            sync_slice(chained(fields))
         else:
             for _ in range(iterations):
                 out = fn(fields)
