@@ -574,116 +574,33 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             zqxfg[m] = zqxfg[m] + amt
 
     # ---- 3.7 ice deposition -------------------------------------------
-    # cloud-top distance carry, shared by both schemes (ref: 1529-1533)
+    # cloud-top distance carry, shared by both schemes (ref: 1529-1533);
+    # updated unconditionally (not guarded by dep_m), so it stays outside
+    # the precipitation branch that the rest of 3.7 joins below
     reset_top = (x["za_prev"] < e.rcldtopcf) & (za >= e.rcldtopcf)
     zcldtopdist = jnp.where(
         reset_top, 0.0, carry["zcldtopdist"] + zdp / (zrho * RG)
     )
-    dep_m = (ztp1 < RTT) & (zqxfg[IL] > e.rlmin)
-    zvpice = x["zfoeeice"] * RV / RD
-    zvpliq = zvpice * zfokoop
-    zicenuclei = 1000.0 * jnp.exp(
-        12.96 * (zvpliq - zvpice) / zvpliq - 0.639
-    )
-    zinfactor = jnp.minimum(zicenuclei / 15000.0, 1.0)
-    ztopred = jnp.minimum(
-        zinfactor
-        + (1.0 - zinfactor)
-        * (e.rdepliqrefrate + zcldtopdist / e.rdepliqrefdepth),
-        1.0,
-    )
-    if c.IDEPICE == 1:  # Rotstayn 2001 monodisperse (ref: 1519-1601)
-        zadd = RLSTT * (RLSTT / (RV * ztp1) - 1.0) / (2.4e-2 * ztp1)
-        zbdd = RV * ztp1 * pap / (2.21 * zvpice)
-        zcvds = (
-            7.8
-            * (zicenuclei / zrho) ** 0.666
-            * (zvpliq - zvpice)
-            / (8.87 * (zadd + zbdd) * zvpice)
-        )
-        zice0 = jnp.maximum(zicecld, zicenuclei * e.riceinit / zrho)
-        zinew_b = 0.666 * zcvds * ptsphy + zice0**0.666
-        zinew = zinew_b * jnp.sqrt(zinew_b)          # == zinew_b**1.5
-        zdepos = jnp.maximum(za * (zinew - zice0), 0.0)
-    else:  # IDEPICE == 2: ice-PSD deposition (ref: 1608-1689)
-        zice0 = jnp.maximum(zicecld, zicenuclei * e.riceinit / zrho)
-        zaplusb = (
-            e.rcl_apb1 * zvpice - e.rcl_apb2 * zvpice * ztp1
-            + pap * e.rcl_apb3 * (ztp1 * ztp1 * ztp1)
-        )
-        zcorrfac = jnp.sqrt(1.0 / zrho)
-        ztq = ztp1 / 273.0
-        zcorrfac2 = ztq * jnp.sqrt(ztq) * (393.0 / (ztp1 + 120.0))
-        zpr02 = zrho * zice0 * e.rcl_const1i  # ZTCG = ZFACX1I = 1
-        zterm1 = (
-            (zvpliq - zvpice) * ztp1**2 * zvpice * zcorrfac2
-            * e.rcl_const2i / (zrho * zaplusb * zvpice)
-        )
-        zterm2 = (
-            0.65 * e.rcl_const6i * zpr02 ** e.rcl_const4i
-            + e.rcl_const3i * jnp.sqrt(zcorrfac) * jnp.sqrt(zrho)
-            * zpr02 ** e.rcl_const5i / jnp.sqrt(zcorrfac2)
-        )
-        zdepos = jnp.maximum(za * zterm1 * zterm2 * ptsphy, 0.0)
-    zdepos = jnp.minimum(zdepos, zqxfg[IL])
-    # cloud-top reduction for turbulence/nucleation/fallout (ref: 1581-1586)
-    zdepos = zdepos * ztopred
-    if "s37" not in c.skip:
-        amt = madd(dep_m, zdepos)
-        solqa[II][IL] = sadd(solqa[II][IL], amt)
-        solqa[IL][II] = sadd(solqa[IL][II], -amt)
-        zqxfg[II] = zqxfg[II] + amt
-        zqxfg[IL] = zqxfg[IL] - amt
 
-    # ==============================================================
-    # 4. PRECIPITATION PROCESSES
-    # ==============================================================
-    # revised in-cloud condensate (ref: 1700-1705)
-    ztmpa = 1.0 / jnp.maximum(za, ZEPSEC)
-    zliqcld = zqxfg[IL] * ztmpa
-    zicecld = zqxfg[II] * ztmpa
-    zlicld = zliqcld + zicecld
-
-    # 4.2 sedimentation source/sink (ref: 1714-1749)
-    zqpretot = zero
+    # 4.2 sedimentation source/sink (ref: 1714-1746) -- pure functions of
+    # the incoming flux and density/aerosol inputs, independent of
+    # everything in the branched region (and exactly zero on inert levels,
+    # where no flux arrives), so they stay outside it. Only the zqxfg
+    # updates join the branch: their accumulation order against 3.7's
+    # deposition updates must match the reference. The solqa diagonal adds
+    # commute out bitwise (nothing inside the branch touches a diagonal).
     for m in (II, IR, IS):
         zfallsrce[m] = madd(not_first, pfplsx_row[m] * zdtgdp)
         solqa[m][m] = sadd(solqa[m][m], zfallsrce[m])
-        zqxfg[m] = zqxfg[m] + zfallsrce[m]
-        zqpretot = zqpretot + madd(not_first, zqxfg[m])
         if m == II and c.LAERICESED:
             vq = 0.002 * x["pre_ice"]
         else:
             vq = c.zvqx[m]
         zfallsink[m] = zdtgdp * (vq * zrho)
 
-    # 4.3p precip cover overlap, MAX-RAN (ref: 1767-1784)
-    has_pre = zqpretot > ZEPSEC
-    zcovptot = carry["zcovptot"]
-    zcovptot_new = 1.0 - (
-        (1.0 - zcovptot)
-        * (1.0 - jnp.maximum(za, x["za_prev"]))
-        / (1.0 - jnp.minimum(x["za_prev"], 1.0 - 1.0e-6))
-    )
-    zcovptot = jnp.where(has_pre, jnp.maximum(zcovptot_new, e.rcovpmin), 0.0)
-    zcovpclr = jnp.where(has_pre, jnp.maximum(0.0, zcovptot - za), 0.0)
-    covp_safe = jnp.where(has_pre, zcovptot, 1.0)
-    zraincld = jnp.where(has_pre, zqxfg[IR] / covp_safe, 0.0)
-    zsnowcld = jnp.where(has_pre, zqxfg[IS] / covp_safe, 0.0)
-    zcovpmax = jnp.where(
-        has_pre, jnp.maximum(zcovptot, carry["zcovpmax"]), 0.0
-    )
-
-    # ================================================================
-    # 4.3a-4.5 precipitation microphysics block (ref: 1789-2421)
-    # ================================================================
-    # Every process in this block needs condensate or precipitation at the
-    # level; `blk_m` is a cheap superset of every per-process guard, so when
-    # it is False everywhere in the batch the whole block is value-exact
-    # inert and ONE branch skips its ~10 transcendentals (see inert_skip;
-    # per-section branches measured as a net loss). 4.4b's rain-fraction
-    # latch is hoisted out of the branch: it writes the level carries and
-    # depends only on start-of-level state (ref: 2044-2056).
+    # 4.4b's rain-fraction latch is hoisted out of the branch: it writes
+    # the level carries and depends only on start-of-level state
+    # (ref: 2044-2056)
     rain_p = zqx[IR] > ZEPSEC
     latch = rain_p & (ztp1 <= RTT) & (x["ztp1_prev"] > RTT)
     zqpretot_f = jnp.maximum(zqx[IS] + zqx[IR], ZEPSEC)
@@ -691,33 +608,46 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     # pure logical form (a bool-valued select does not lower on Mosaic)
     llrainliq = (latch & (prainfrac > 0.8)) | (~latch & carry["llrainliq"])
 
-    snow_m = (ztp1 <= RTT) & (zicecld > ZEPSEC)
-    liq_m = zliqcld > ZEPSEC
-    rime_m = (ztp1 <= RTT) & (zliqcld > ZEPSEC)
-    zfallcorr = (e.rdensref / zrho) ** 0.4
-    rime2 = rime_m & (zsnowcld > ZEPSEC) & (zcovptot > 0.01)
-    zicetot = zqxfg[II] + zqxfg[IS]
-    melt_m = (zicetot > ZEPSEC) & (ztp1 > RTT)
-    frz_cold = rain_p & (ztp1 < RTT)
-    # Superset of every guard below: 4.3a snow_m; 4.3b/4.3c liq_m (rime2
-    # implies it); 4.4a melt_m; 4.4b frz_cold; 4.4c needs zqxfg[IL] > eps
-    # which implies liq_m (zliqcld = zqxfg[IL]/max(za,eps) >= zqxfg[IL]);
-    # 4.5r needs rain, which inside the block only appears via melt
-    # (zqxfg[IR] | melt_m covers it); 4.5s needs snow, which the block only
-    # ever decreases (zqxfg[IS] covers it).
-    blk_m = (
-        snow_m | liq_m | melt_m | frz_cold
-        | (zqxfg[IR] > ZEPSEC) | (zqxfg[IS] > ZEPSEC)
+    # ================================================================
+    # 3.7-4.5 ice deposition + precipitation block (ref: 1501-2421)
+    # ================================================================
+    # Every process from 3.7 through 4.5 needs condensate or precipitation
+    # at the level. `pre_m` is a cheap superset of every per-process guard,
+    # evaluated on START-of-region state (the region's own updates only
+    # move mass between species that already exist, or import it through
+    # an incoming flux), so when it is False everywhere in the batch the
+    # whole region is value-exact inert and ONE branch skips its ~12
+    # transcendentals (see inert_skip; per-section branches measured as a
+    # net loss). Guard coverage: 3.7 dep_m needs zqxfg[IL] > RLMIN; 4.2's
+    # fall source (hoisted above) needs an incoming flux; 4.3p has_pre
+    # needs post-fall precip mass; 4.3a snow_m / 4.3b-c liq_m need in-cloud
+    # ice/liquid (zero when zqxfg <= 0); 4.4a melt needs ice+snow;
+    # 4.4b/4.5r need rain (zqx[IR] <= zqxfg[IR] pre-fall, all pre-branch
+    # sources are non-negative); 4.4c needs liquid; 4.5s needs snow. The
+    # write-only zcovpmax output is seeded with zeros, which ARE its exact
+    # inert value; the zcovptot carry is exactly 0 whenever pre_m is False
+    # (5.3 zeroes it unless the level above emitted a rain/snow flux, and
+    # any flux into this level sets pre_m).
+    flux_in = (
+        (pfplsx_row[II] > 0.0)
+        | (pfplsx_row[IR] > 0.0)
+        | (pfplsx_row[IS] > 0.0)
+    )
+    pre_m = (
+        (zqxfg[IL] > 0.0) | (zqxfg[II] > 0.0)
+        | (zqxfg[IR] > 0.0) | (zqxfg[IS] > 0.0)
+        | flux_in
     )
     _blk_a = [
         (IS, IL), (IR, IL), (IL, IS), (IL, IR),   # 4.3b warm rain (KK2000)
         (IR, II), (II, IR), (IR, IS), (IS, IR),   # 4.4a melt + 4.4b freeze
-        (II, IL), (IL, II),                       # 4.4c homogeneous freeze
+        (II, IL), (IL, II),                       # 3.7 dep + 4.4c hom.freeze
         (IV, IR), (IR, IV), (IV, IS), (IS, IV),   # 4.5 evap/sublimation
     ]
     _blk_b = [(IS, II), (IS, IL), (IR, IL)]       # 4.3a / 4.3b(v1) / 4.3c
     _na, _nb = len(_blk_a), len(_blk_b)
     _sqa0, _sqb0, _qf0 = solqa, solqb, zqxfg
+    _zicecld30 = zicecld  # in-cloud ice as of section 3.0, read by 3.7
 
     def _precip_active(ops):
         # shadow the threaded structures with local copies seeded from the
@@ -730,7 +660,106 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             solqa[m][n] = v
         for (m, n), v in zip(_blk_b, ops[_na:_na + _nb]):
             solqb[m][n] = v
-        zqxfg[II], zqxfg[IS], zqxfg[IR], zcovptot = ops[_na + _nb:]
+        (zqxfg[II], zqxfg[IS], zqxfg[IR], zqxfg[IL],
+         zcovptot) = ops[_na + _nb:_na + _nb + 5]
+
+        dep_m = (ztp1 < RTT) & (zqxfg[IL] > e.rlmin)
+        zvpice = x["zfoeeice"] * RV / RD
+        zvpliq = zvpice * zfokoop
+        zicenuclei = 1000.0 * jnp.exp(
+            12.96 * (zvpliq - zvpice) / zvpliq - 0.639
+        )
+        zinfactor = jnp.minimum(zicenuclei / 15000.0, 1.0)
+        ztopred = jnp.minimum(
+            zinfactor
+            + (1.0 - zinfactor)
+            * (e.rdepliqrefrate + zcldtopdist / e.rdepliqrefdepth),
+            1.0,
+        )
+        if c.IDEPICE == 1:  # Rotstayn 2001 monodisperse (ref: 1519-1601)
+            zadd = RLSTT * (RLSTT / (RV * ztp1) - 1.0) / (2.4e-2 * ztp1)
+            zbdd = RV * ztp1 * pap / (2.21 * zvpice)
+            zcvds = (
+                7.8
+                * (zicenuclei / zrho) ** 0.666
+                * (zvpliq - zvpice)
+                / (8.87 * (zadd + zbdd) * zvpice)
+            )
+            zice0 = jnp.maximum(_zicecld30, zicenuclei * e.riceinit / zrho)
+            zinew_b = 0.666 * zcvds * ptsphy + zice0**0.666
+            zinew = zinew_b * jnp.sqrt(zinew_b)          # == zinew_b**1.5
+            zdepos = jnp.maximum(za * (zinew - zice0), 0.0)
+        else:  # IDEPICE == 2: ice-PSD deposition (ref: 1608-1689)
+            zice0 = jnp.maximum(_zicecld30, zicenuclei * e.riceinit / zrho)
+            zaplusb = (
+                e.rcl_apb1 * zvpice - e.rcl_apb2 * zvpice * ztp1
+                + pap * e.rcl_apb3 * (ztp1 * ztp1 * ztp1)
+            )
+            zcorrfac = jnp.sqrt(1.0 / zrho)
+            ztq = ztp1 / 273.0
+            zcorrfac2 = ztq * jnp.sqrt(ztq) * (393.0 / (ztp1 + 120.0))
+            zpr02 = zrho * zice0 * e.rcl_const1i  # ZTCG = ZFACX1I = 1
+            zterm1 = (
+                (zvpliq - zvpice) * ztp1**2 * zvpice * zcorrfac2
+                * e.rcl_const2i / (zrho * zaplusb * zvpice)
+            )
+            zterm2 = (
+                0.65 * e.rcl_const6i * zpr02 ** e.rcl_const4i
+                + e.rcl_const3i * jnp.sqrt(zcorrfac) * jnp.sqrt(zrho)
+                * zpr02 ** e.rcl_const5i / jnp.sqrt(zcorrfac2)
+            )
+            zdepos = jnp.maximum(za * zterm1 * zterm2 * ptsphy, 0.0)
+        zdepos = jnp.minimum(zdepos, zqxfg[IL])
+        # cloud-top reduction for turbulence/nucleation/fallout (ref: 1581-1586)
+        zdepos = zdepos * ztopred
+        if "s37" not in c.skip:
+            amt = madd(dep_m, zdepos)
+            solqa[II][IL] = sadd(solqa[II][IL], amt)
+            solqa[IL][II] = sadd(solqa[IL][II], -amt)
+            zqxfg[II] = zqxfg[II] + amt
+            zqxfg[IL] = zqxfg[IL] - amt
+
+        # ==============================================================
+        # 4. PRECIPITATION PROCESSES
+        # ==============================================================
+        # revised in-cloud condensate (ref: 1700-1705)
+        ztmpa = 1.0 / jnp.maximum(za, ZEPSEC)
+        zliqcld = zqxfg[IL] * ztmpa
+        zicecld = zqxfg[II] * ztmpa
+        zlicld = zliqcld + zicecld
+
+        # 4.2 sedimentation fall source, hoisted part applied to the first
+        # guess in reference order (ref: 1714-1726)
+        zqpretot = zero
+        for m in (II, IR, IS):
+            zqxfg[m] = zqxfg[m] + zfallsrce[m]
+            zqpretot = zqpretot + madd(not_first, zqxfg[m])
+
+        # 4.3p precip cover overlap, MAX-RAN (ref: 1767-1784)
+        has_pre = zqpretot > ZEPSEC
+        zcovptot = carry["zcovptot"]
+        zcovptot_new = 1.0 - (
+            (1.0 - zcovptot)
+            * (1.0 - jnp.maximum(za, x["za_prev"]))
+            / (1.0 - jnp.minimum(x["za_prev"], 1.0 - 1.0e-6))
+        )
+        zcovptot = jnp.where(has_pre, jnp.maximum(zcovptot_new, e.rcovpmin), 0.0)
+        zcovpclr = jnp.where(has_pre, jnp.maximum(0.0, zcovptot - za), 0.0)
+        covp_safe = jnp.where(has_pre, zcovptot, 1.0)
+        zraincld = jnp.where(has_pre, zqxfg[IR] / covp_safe, 0.0)
+        zsnowcld = jnp.where(has_pre, zqxfg[IS] / covp_safe, 0.0)
+        zcovpmax = jnp.where(
+            has_pre, jnp.maximum(zcovptot, carry["zcovpmax"]), 0.0
+        )
+
+        snow_m = (ztp1 <= RTT) & (zicecld > ZEPSEC)
+        liq_m = zliqcld > ZEPSEC
+        rime_m = (ztp1 <= RTT) & (zliqcld > ZEPSEC)
+        zfallcorr = (e.rdensref / zrho) ** 0.4
+        rime2 = rime_m & (zsnowcld > ZEPSEC) & (zcovptot > 0.01)
+        zicetot = zqxfg[II] + zqxfg[IS]
+        melt_m = (zicetot > ZEPSEC) & (ztp1 > RTT)
+        frz_cold = rain_p & (ztp1 < RTT)
 
         # 4.3a snow autoconversion, Lin et al. 1983 (ref: 1789-1811)
         zzco = ptsphy * e.rsnowlin1 * jnp.exp(e.rsnowlin2 * (ztp1 - RTT))
@@ -1133,20 +1162,24 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         return (
             *(solqa[m][n] for m, n in _blk_a),
             *(solqb[m][n] for m, n in _blk_b),
-            zqxfg[II], zqxfg[IS], zqxfg[IR], zcovptot,
+            zqxfg[II], zqxfg[IS], zqxfg[IR], zqxfg[IL], zcovptot,
+            zcovpmax,
         )
 
     _ops = (
         *(zero if solqa[m][n] is None else solqa[m][n] for m, n in _blk_a),
         *(zero if solqb[m][n] is None else solqb[m][n] for m, n in _blk_b),
-        zqxfg[II], zqxfg[IS], zqxfg[IR], zcovptot,
+        zqxfg[II], zqxfg[IS], zqxfg[IR], zqxfg[IL], carry["zcovptot"],
+        # write-only output: the zero seed IS its exact inert value
+        zero,
     )
-    _out = inert_skip(blk_m, _precip_active, _ops, force=force_on)
+    _out = inert_skip(pre_m, _precip_active, _ops, force=force_on)
     for (m, n), v in zip(_blk_a, _out[:_na]):
         solqa[m][n] = v
     for (m, n), v in zip(_blk_b, _out[_na:_na + _nb]):
         solqb[m][n] = v
-    zqxfg[II], zqxfg[IS], zqxfg[IR], zcovptot = _out[_na + _nb:]
+    (zqxfg[II], zqxfg[IS], zqxfg[IR], zqxfg[IL], zcovptot,
+     zcovpmax) = _out[_na + _nb:]
 
     # 4.6 evaporate small precipitation amounts (ref: 2426-2435)
     if "s46" not in c.skip:
