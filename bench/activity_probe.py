@@ -1,0 +1,109 @@
+"""Per-(column, level) guard-activity analysis for the dynamic fast paths.
+
+The dynamic skips (`scheme.inert_skip`, the 5.2.1 no-overshoot cond) fire
+only when a guard is False for EVERY column in the batch — the Pallas
+kernel's (SB, 128) tile. The benchmark expansion tiles the 100 snapshot
+columns cyclically (ref: expand_mod.F90:237-334), so every tile mixes all
+100 distinct columns and the skip rate degenerates to the whole-snapshot
+rate. This probe measures, per guard:
+
+  - active fraction over (level, column) work units   (the best any
+    per-column schedule could reach)
+  - fraction of levels with ANY active column         (today's skip rate)
+  - per-column level-activity histogram               (how much an
+    activity-sorted column permutation would recover)
+
+Runs the scan engine EAGERLY (Python-loop scan) at 100 columns fp64 on CPU
+with `scheme.probe_hook` capturing concrete masks. ~2 min.
+
+Usage: python bench/activity_probe.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from cloudsc_tpu.data import default_input_path, load_input
+from cloudsc_tpu.params import Params
+from cloudsc_tpu.physics import cloudsc, make_inputs, scheme
+
+
+def pyscan(f, init, xs, **kw):
+    carry = init
+    ys_list = []
+    n = np.asarray(xs).shape[0] if not isinstance(xs, (list, tuple)) else None
+    assert n is not None
+    for i in range(n):
+        x = jax.tree_util.tree_map(lambda a: a[i], xs)
+        carry, y = f(carry, x)
+        ys_list.append(y)
+    ys = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *ys_list)
+    return carry, ys
+
+
+def main():
+    inp = load_input(default_input_path(), ngptot=100)
+    params = Params.from_input(inp)
+    fields = make_inputs(inp, dtype=jnp.float64)
+
+    records = {}  # tag -> list of (ncol,) bool arrays, one per level
+
+    def hook(tag, mask):
+        records.setdefault(tag, []).append(np.asarray(mask))
+
+    level_idx = [0]
+
+    def pycond(pred, true_fn, false_fn, *ops):
+        # eager branch execution so nested probe hooks see concrete masks
+        return true_fn(*ops) if bool(pred) else false_fn(*ops)
+
+    orig_scan, orig_cond, orig_hook = jax.lax.scan, jax.lax.cond, scheme.probe_hook
+    jax.lax.scan = pyscan
+    jax.lax.cond = pycond
+    scheme.probe_hook = hook
+    try:
+        out = cloudsc(fields, params, inp.ptsphy)
+        assert np.isfinite(np.asarray(out.tendency_loc_t)).all()
+    finally:
+        jax.lax.scan = orig_scan
+        jax.lax.cond = orig_cond
+        scheme.probe_hook = orig_hook
+
+    nlev_scanned = max(len(v) for v in records.values())
+    print(f"{'guard':>8} {'lev x col act%':>15} {'any-col lev act%':>17} "
+          f"{'sorted-tile act%':>17}")
+    for tag, masks in records.items():
+        a = np.stack(masks)  # (levels recorded, ncol)
+        if a.shape[0] < nlev_scanned:
+            # nested guard: unrecorded levels had the enclosing branch
+            # skipped, so this guard was all-False there (guard subset)
+            pad = np.zeros((nlev_scanned - a.shape[0], a.shape[1]), bool)
+            a = np.concatenate([a, pad])  # position is irrelevant to stats
+        frac_work = a.mean()
+        frac_levels_any = a.any(axis=1).mean()
+        # homogeneous tiles (sorted replication): a tile runs the section
+        # iff its single distinct column is active at that level
+        frac_sorted = a.mean()
+        print(f"{tag:>8} {100 * frac_work:>14.1f}% {100 * frac_levels_any:>16.1f}%"
+              f" {100 * frac_sorted:>16.1f}%")
+        per_col = a.mean(axis=0)
+        order = np.argsort(per_col)
+        print(f"{'':>8} per-column active-level fraction: "
+              f"min {per_col.min():.2f}  p25 {per_col[order[24]]:.2f}  "
+              f"median {per_col[order[49]]:.2f}  p75 {per_col[order[74]]:.2f}  "
+              f"max {per_col.max():.2f}  ncols-fully-inert "
+              f"{(per_col == 0).sum()}")
+
+
+if __name__ == "__main__":
+    main()

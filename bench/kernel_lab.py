@@ -56,6 +56,10 @@ def main() -> int:
     p.add_argument("--sb", type=int, nargs="+", default=[32])
     p.add_argument("--lps", type=int, nargs="+", default=[2])
     p.add_argument("--modes", nargs="+", default=["full"])
+    p.add_argument("--order", nargs="+", default=["cyclic"],
+                   choices=["cyclic", "grouped"],
+                   help="column expansion layout(s) to sweep: grouped makes "
+                        "tiles homogeneous so per-tile skips fire per-column")
     p.add_argument("--skip", nargs="+", default=[""],
                    help="comma-joined section tags to skip, swept one value "
                         "per run (attribution; '' = full physics)")
@@ -84,11 +88,13 @@ def main() -> int:
         params = Params.from_input(inp)
         from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs_raw
 
-        for sb, lps in ((s, l) for s in a.sb for l in a.lps):
+        for sb, lps, order in ((s, l, o) for s in a.sb for l in a.lps
+                               for o in a.order):
             # lps must be pinned BEFORE packing: the pad-row decision at pack
             # time (_lps_for) has to agree with the kernel's level blocking
             os.environ["CLOUDSC_PALLAS_LPS"] = str(lps)
-            packed, ncol = pack_inputs_raw(inp, sb, params)
+            packed, ncol = pack_inputs_raw(inp, sb, params,
+                                           column_order=order)
             packed = jax.device_put(packed)
             jax.block_until_ready(packed)
             for mode, skip in ((m, s) for m in a.modes for s in a.skip):
@@ -130,7 +136,7 @@ def main() -> int:
                 per_iter = max(best - floor_s, 1e-9) / a.iters
                 cols_s = ncol / per_iter
                 rec = dict(ngptot=ngptot, sb=sb, lps=lps, mode=mode,
-                           skip=skip,
+                           order=order, skip=skip,
                            ms_per_step=round(per_iter * 1e3, 3),
                            cols_per_s=round(cols_s, 0),
                            compile_s=round(compile_s, 1))

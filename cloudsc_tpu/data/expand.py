@@ -34,17 +34,29 @@ def get_offsets(klon_file: int, ngptot: int, ngptotg: int, rank: int, nranks: in
     return 0, klon_file
 
 
-def expand_field(field: np.ndarray, ngptot: int) -> np.ndarray:
-    """Tile the trailing (column) axis cyclically out to ngptot columns.
+def expand_field(field: np.ndarray, ngptot: int,
+                 order: str = "cyclic") -> np.ndarray:
+    """Tile the trailing (column) axis out to ngptot columns.
 
-    Matches the reference expansion (ref: expand_mod.F90:237-334; python twin
+    order="cyclic" matches the reference expansion (dst col j <- src col
+    j % klon; ref: expand_mod.F90:237-334; python twin
     src/cloudsc_python/src/cloudscf2py/inputs.py:23-34). Large expansions go
     through the threaded C++ path (the analogue of the reference's
     OpenMP-parallel EXPAND); numpy otherwise.
+
+    order="grouped" writes every source column's copies contiguously — a
+    column PERMUTATION of the cyclic layout (same multiset; see
+    group_inverse for the mapping back), used to make the Pallas kernel's
+    column tiles homogeneous so per-tile dynamic skips fire at per-column
+    granularity.
     """
     klon = field.shape[-1]
     if klon == ngptot:
         return field
+    if order == "grouped":
+        return np.ascontiguousarray(
+            np.repeat(field, group_counts(klon, ngptot), axis=-1)
+        )
     if field.size * (ngptot // max(klon, 1)) > (1 << 20):
         from ..native import expand_native
 
@@ -54,6 +66,25 @@ def expand_field(field: np.ndarray, ngptot: int) -> np.ndarray:
     reps = -(-ngptot // klon)  # ceil
     tiled = np.tile(field, (1,) * (field.ndim - 1) + (reps,))
     return np.ascontiguousarray(tiled[..., :ngptot])
+
+
+def group_counts(klon: int, ncol: int) -> np.ndarray:
+    """Multiplicity of each source column in the cyclic expansion to ncol:
+    count_g = |{j in [0, ncol): j % klon == g}| = ceil((ncol - g) / klon)."""
+    g = np.arange(klon, dtype=np.int64)
+    return np.maximum(0, -(-(ncol - g) // klon))
+
+
+def group_inverse(klon: int, ncol: int) -> np.ndarray:
+    """inv mapping canonical (cyclic) column j to a grouped-layout column
+    holding the same source column (the first member of group j % klon).
+    Copies of a source column are bitwise-identical through the scheme
+    (columns are independent and the dynamic skips are value-exact), so
+    gathering grouped outputs with inv reconstructs the canonical outputs
+    exactly."""
+    counts = group_counts(klon, ncol)
+    off = np.concatenate([[0], np.cumsum(counts[:-1])])
+    return off[np.arange(ncol, dtype=np.int64) % klon].astype(np.int32)
 
 
 def pad_columns(field: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:

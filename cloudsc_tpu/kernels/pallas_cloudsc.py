@@ -597,7 +597,7 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
 
 
 def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
-                    dtype=None):
+                    dtype=None, column_order: str = "cyclic"):
     """Packed-storage pytree straight from an InputData — fused native path.
 
     Unlike `pack_inputs` (which consumes an already-expanded field dict),
@@ -606,7 +606,12 @@ def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
     (cloudsc_native.cpp cs_pack_expand_f32) — the load_state.c/expand_mod
     analogue. It accepts both unexpanded (file-width) and expanded fields;
     falls back to make_inputs + pack_inputs when the native library or fp32
-    is unavailable."""
+    is unavailable.
+
+    column_order="grouped" lays each source column's copies out
+    contiguously (a permutation of the cyclic layout; the requested order
+    is honored on the fallback path too) — see data.expand.group_inverse
+    for mapping outputs back to canonical order."""
     import numpy as np
 
     from ..physics.cloudsc import make_inputs
@@ -614,9 +619,11 @@ def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
     f = inp.fields
     ncol = inp.ngptot
     nlev = inp.klev
+    grouped = column_order == "grouped"
 
     if dtype is not None and jnp.dtype(dtype) != jnp.dtype(jnp.float32):
-        fields = make_inputs(inp, dtype=dtype, host=True)
+        fields = make_inputs(inp, dtype=dtype, host=True,
+                             column_order=column_order)
         return pack_inputs(fields, sublanes, params, config)
 
     from ..native import pack_expand_native
@@ -638,17 +645,19 @@ def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
 
     pad = 1 if _lps_for(nlev) > 1 else 0
     rows = [src(n) for n in _PACK_ROWS] + [f[n.upper()] for n in aer]
-    pack = pack_expand_native(rows, ncol, target, nlev + pad)
+    pack = pack_expand_native(rows, ncol, target, nlev + pad, grouped=grouped)
     nxt = pack_expand_native([f["PMFU"], f["PMFD"], f["PLU"]],
-                             ncol, target, nlev + pad)
-    paph = pack_expand_native([f["PAPH"]], ncol, target, nlev + 1)
+                             ncol, target, nlev + pad, grouped=grouped)
+    paph = pack_expand_native([f["PAPH"]], ncol, target, nlev + 1,
+                              grouped=grouped)
     col = pack_expand_native(
         [f["PLSM"], np.asarray(f["LDCUM"], np.float64),
          np.asarray(f["KTYPE"], np.float64), f["PAPH"][nlev]],
-        ncol, target, 1,
+        ncol, target, 1, grouped=grouped,
     )
     if any(x is None for x in (pack, nxt, paph, col)):
-        fields = make_inputs(inp, dtype=jnp.float32, host=True)
+        fields = make_inputs(inp, dtype=jnp.float32, host=True,
+                             column_order=column_order)
         return pack_inputs(fields, sublanes, params, config)
     return dict(
         pack=pack.reshape(pack.shape[0], pack.shape[1], nblk, LANES),

