@@ -394,6 +394,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
 
     has_sup = zsupsat > ZEPSEC
     warm = ztp1 > e.rthomo
+    if probe_hook is not None:
+        probe_hook("s31", has_sup | (x["psupsat"] > ZEPSEC))
     if "s31" not in c.skip:
         for m, w in ((IL, warm), (II, ~warm)):
             amt = madd(has_sup & w, zsupsat)
@@ -428,6 +430,10 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     solqa[IS][IS] = sadd(
         solqa[IS][IS], madd(not_last & ldcum, x["psnde"] * zdtgdp)
     )
+    if probe_hook is not None:
+        probe_hook(
+            "s32", lcond | (not_last & ldcum & (x["psnde"] * zdtgdp != 0.0))
+        )
 
     # ---- 3.3 subsidence source + in-layer evaporation (ref: 1143-1194)
     zmf = jnp.maximum(0.0, (x["pmfu"] + x["pmfd"]) * zdtgdp)
@@ -457,6 +463,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         not_last,
         jnp.maximum(0.0, (x["pmfu_next"] + x["pmfd_next"]) * zdtgdp),
     )
+    if probe_hook is not None:
+        probe_hook("s33", (not_first & (zmf > 0.0)) | (zmfdn > 0.0))
     solab = solab + zmfdn
     solqb[IL][IL] = sadd(solqb[IL][IL], zmfdn)
     solqb[II][II] = sadd(solqb[II][II], zmfdn)
@@ -475,6 +483,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zleros = jnp.minimum(zleros, zevaplimmix)
     zleros = jnp.minimum(zleros, x["zli"])
     zaeros = zleros / jnp.where(has_cld, zlicld, 1.0)
+    if probe_hook is not None:
+        probe_hook("s34e", has_cld)
     if "s34e" not in c.skip:
         solac = solac - madd(has_cld, zaeros)
         for m, frac in ((IL, x["zliqfrac"]), (II, x["zicefrac"])):
@@ -1353,6 +1363,22 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         )
         for (m, n), v in zip(sq_idx, scaled):
             solqa[m][n] = v
+
+    if probe_hook is not None:
+        # candidate guard for an implicit-solver (5.2.2+) fast path: the
+        # solve is the identity iff no explicit source, no implicit term,
+        # and no falling species mass (the fall sinks are always nonzero)
+        m_solver = None
+        for mm in range(NCLV):
+            for nn in range(NCLV):
+                if solqa[mm][nn] is not None:
+                    m_solver = (solqa[mm][nn] != 0.0) if m_solver is None \
+                        else (m_solver | (solqa[mm][nn] != 0.0))
+                if solqb[mm][nn] is not None:
+                    m_solver = m_solver | (solqb[mm][nn] != 0.0)
+        for mm in (II, IR, IS):
+            m_solver = m_solver | (zqx[mm] != 0.0)
+        probe_hook("solver", m_solver)
 
     # ==============================================================
     # 5.2.2 implicit 5x5 solve (LHS build + non-pivoting LU,
