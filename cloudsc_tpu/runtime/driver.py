@@ -76,12 +76,13 @@ class CloudscDriver:
         # reverts): expand each snapshot column's copies contiguously so the
         # kernel's column tiles are homogeneous and the value-exact per-tile
         # dynamic skips fire at per-column granularity (docs/PERFORMANCE.md).
-        # A pure permutation — run() gathers outputs back to canonical order.
-        # Single-chip only for now: on a mesh the inverse gather would cross
-        # shard boundaries.
+        # A pure permutation — run() gathers outputs back to canonical order
+        # (on a mesh the gather crosses shards, but sits outside the timed
+        # loop). Multi-process runs keep the cyclic layout: the inverse
+        # gather would index a non-addressable global array per host.
         self.grouped = (
             self.packed
-            and self.mesh is None
+            and jax.process_count() == 1
             and os.environ.get("CLOUDSC_GROUP_COLUMNS", "1") != "0"
         )
         kw = dict(sublanes=sublanes) if self.backend == "pallas" else {}

@@ -97,3 +97,35 @@ def test_grouped_pallas_outputs_bitwise_equal_cyclic():
         a = np.asarray(getattr(outs["cyclic"], name))
         b = np.asarray(getattr(regrouped, name))
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_grouped_mesh_outputs_bitwise_equal_cyclic():
+    """Grouped layout over the column mesh (shard_map + interpret kernel):
+    the inverse gather crosses shard boundaries and must still reconstruct
+    the cyclic outputs bitwise."""
+    from cloudsc_tpu.runtime import dist
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = dist.column_mesh(devices[:8])
+    ngptot = 8 * 2 * 128
+    inp = load_input(INPUT_PATH, ngptot=ngptot, expand=False)
+    params = Params.from_input(inp)
+    klon = np.asarray(inp.fields["PT"]).shape[-1]
+
+    fn = dist.sharded_cloudsc_packed(params, inp.ptsphy, mesh, sublanes=2,
+                                     interpret=True)
+    outs = {}
+    for order in ("cyclic", "grouped"):
+        p, _ = pack_inputs_raw(inp, sublanes=2, params=params,
+                               dtype=jnp.float32, column_order=order)
+        p = dist.shard_packed(p, mesh)
+        outs[order] = jax.block_until_ready(fn(p))
+
+    inv = group_inverse(klon, ngptot)
+    regrouped = jax.tree.map(lambda a: a[..., inv], outs["grouped"])
+    for name in outs["cyclic"]._fields:
+        a = np.asarray(getattr(outs["cyclic"], name))
+        b = np.asarray(getattr(regrouped, name))
+        np.testing.assert_array_equal(a, b, err_msg=name)
