@@ -85,6 +85,11 @@ class CloudscDriver:
             and jax.process_count() == 1
             and os.environ.get("CLOUDSC_GROUP_COLUMNS", "1") != "0"
         )
+        # interpret-mode escape hatch so the packed/pallas driver glue is
+        # testable on CPU (tests/test_grouped_columns.py); never set on TPU
+        self.interpret = (
+            os.environ.get("CLOUDSC_PALLAS_INTERPRET", "0") == "1"
+        )
         kw = dict(sublanes=sublanes) if self.backend == "pallas" else {}
         kw["config"] = scheme_config
         if self.mesh is not None and self.packed:
@@ -92,7 +97,8 @@ class CloudscDriver:
 
             self._fn = sharded_cloudsc_packed(params, ptsphy, self.mesh,
                                               sublanes=sublanes,
-                                              config=scheme_config)
+                                              config=scheme_config,
+                                              interpret=self.interpret)
         elif self.mesh is not None:
             self._fn = sharded_cloudsc(params, ptsphy, self.mesh,
                                        backend=self.backend, **kw)
@@ -103,7 +109,8 @@ class CloudscDriver:
             from ..kernels import cloudsc_pallas
             self._fn = jax.jit(
                 lambda f: cloudsc_pallas(f, params, ptsphy, sublanes=sublanes,
-                                         config=scheme_config)
+                                         config=scheme_config,
+                                         interpret=self.interpret)
             )
         else:
             self._fn = jax.jit(
@@ -122,6 +129,7 @@ class CloudscDriver:
                 lambda p: cloudsc_pallas(
                     None, self.params, self.ptsphy, sublanes=self.sublanes,
                     packed=p, ncol_packed=ncol, config=self.scheme_config,
+                    interpret=self.interpret,
                 )
             )
             self._fn_cache[ncol] = fn

@@ -99,6 +99,30 @@ def test_grouped_pallas_outputs_bitwise_equal_cyclic():
         np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+def test_driver_grouped_matches_cyclic(monkeypatch):
+    """The driver glue: prepare() packs grouped, run() gathers outputs back
+    to canonical order — returned outputs must be bitwise identical to a
+    cyclic-layout run (interpret-mode pallas backend on CPU)."""
+    from cloudsc_tpu.runtime.driver import CloudscDriver
+
+    monkeypatch.setenv("CLOUDSC_PALLAS_INTERPRET", "1")
+    inp = load_input(INPUT_PATH, ngptot=256, expand=False)
+    params = Params.from_input(inp)
+    outs = {}
+    for group in ("1", "0"):
+        monkeypatch.setenv("CLOUDSC_GROUP_COLUMNS", group)
+        d = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32,
+                          backend="pallas", sublanes=1)
+        assert d.grouped == (group == "1")
+        out, _, _ = d.run(inp, iterations=1)
+        outs[group] = out
+    for name in outs["0"]._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(outs["0"], name)),
+            np.asarray(getattr(outs["1"], name)), err_msg=name,
+        )
+
+
 def test_grouped_mesh_outputs_bitwise_equal_cyclic():
     """Grouped layout over the column mesh (shard_map + interpret kernel):
     the inverse gather crosses shard boundaries and must still reconstruct
