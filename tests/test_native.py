@@ -74,3 +74,32 @@ def test_pack_inputs_raw_matches_numpy_pipeline():
             a, b = np.asarray(p_nat[k]), np.asarray(p_ref[k])
             assert a.shape == b.shape, (k, a.shape, b.shape)
             np.testing.assert_array_equal(a, b, err_msg=f"{k} ngptot={ng}")
+
+
+def test_pack_inputs_raw_grouped_matches_numpy_fallback(monkeypatch):
+    """The grouped native pack and the numpy fallback (make_inputs with
+    column_order='grouped' -> pack_inputs) must agree bitwise — the driver
+    relies on the requested order being honored on both paths."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import cloudsc_tpu.native as native
+    from cloudsc_tpu.data import load_input
+    from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs_raw
+    from cloudsc_tpu.params import Params
+    from conftest import REFERENCE_DATA
+
+    for ng in (4096, 300):
+        raw = load_input(REFERENCE_DATA, ngptot=ng, expand=False)
+        params = Params.from_input(raw)
+        p_nat, _ = pack_inputs_raw(raw, 32, params, dtype=jnp.float32,
+                                   column_order="grouped")
+        with monkeypatch.context() as m:
+            m.setattr(native, "pack_expand_native", lambda *a, **k: None)
+            p_fb, _ = pack_inputs_raw(raw, 32, params, dtype=jnp.float32,
+                                      column_order="grouped")
+        for k in p_fb:
+            np.testing.assert_array_equal(
+                np.asarray(p_nat[k]), np.asarray(p_fb[k]),
+                err_msg=f"{k} ngptot={ng}",
+            )
