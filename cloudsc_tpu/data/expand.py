@@ -53,16 +53,16 @@ def expand_field(field: np.ndarray, ngptot: int,
     klon = field.shape[-1]
     if klon == ngptot:
         return field
+    if field.size * (ngptot // max(klon, 1)) > (1 << 20):
+        from ..native import expand_native
+
+        out = expand_native(field, ngptot, grouped=(order == "grouped"))
+        if out is not None:
+            return out
     if order == "grouped":
         return np.ascontiguousarray(
             np.repeat(field, group_counts(klon, ngptot), axis=-1)
         )
-    if field.size * (ngptot // max(klon, 1)) > (1 << 20):
-        from ..native import expand_native
-
-        out = expand_native(field, ngptot)
-        if out is not None:
-            return out
     reps = -(-ngptot // klon)  # ceil
     tiled = np.tile(field, (1,) * (field.ndim - 1) + (reps,))
     return np.ascontiguousarray(tiled[..., :ngptot])

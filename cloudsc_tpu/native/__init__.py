@@ -57,36 +57,49 @@ def get_lib():
         except OSError:
             _lib_failed = True
             return None
-        i64, i32 = ctypes.c_int64, ctypes.c_int
-        pd = ctypes.POINTER(ctypes.c_double)
-        for suffix, cptr in (
-            ("f64", ctypes.POINTER(ctypes.c_double)),
-            ("f32", ctypes.POINTER(ctypes.c_float)),
-            ("i32", ctypes.POINTER(ctypes.c_int32)),
-            ("u8", ctypes.POINTER(ctypes.c_uint8)),
-        ):
-            fn = getattr(lib, f"cs_expand_{suffix}")
-            fn.argtypes = [cptr, cptr, i64, i64, i64, i32]
-            fn.restype = None
-        for suffix, cptr in (
-            ("f64", ctypes.POINTER(ctypes.c_double)),
-            ("f32", ctypes.POINTER(ctypes.c_float)),
-        ):
-            fn = getattr(lib, f"cs_field_stats_{suffix}")
-            fn.argtypes = [cptr, cptr, i64, i32, pd]
-            fn.restype = None
-        pd64 = ctypes.POINTER(ctypes.c_double)
-        for name in ("cs_pack_expand_f32", "cs_pack_expand_grouped_f32"):
-            fn = getattr(lib, name)
-            fn.argtypes = [
-                ctypes.POINTER(pd64), ctypes.POINTER(ctypes.c_int64),
-                i64, i64, i64, i64, i64,
-                ctypes.POINTER(ctypes.c_float), i32,
-            ]
-            fn.restype = None
-        lib.cs_hardware_threads.restype = ctypes.c_int
+        try:
+            _bind(lib)
+        except AttributeError:
+            # a stale .so missing newer symbols (e.g. the build failed and
+            # an old binary was loaded): honor the numpy-fallback contract
+            _lib_failed = True
+            return None
         _lib = lib
         return _lib
+
+
+def _bind(lib):
+    """Declare argtypes for every exported symbol; raises AttributeError if
+    the loaded binary predates any of them (caller falls back to numpy)."""
+    i64, i32 = ctypes.c_int64, ctypes.c_int
+    pd = ctypes.POINTER(ctypes.c_double)
+    for suffix, cptr in (
+        ("f64", ctypes.POINTER(ctypes.c_double)),
+        ("f32", ctypes.POINTER(ctypes.c_float)),
+        ("i32", ctypes.POINTER(ctypes.c_int32)),
+        ("u8", ctypes.POINTER(ctypes.c_uint8)),
+    ):
+        for stem in ("cs_expand_", "cs_expand_grouped_"):
+            fn = getattr(lib, f"{stem}{suffix}")
+            fn.argtypes = [cptr, cptr, i64, i64, i64, i32]
+            fn.restype = None
+    for suffix, cptr in (
+        ("f64", ctypes.POINTER(ctypes.c_double)),
+        ("f32", ctypes.POINTER(ctypes.c_float)),
+    ):
+        fn = getattr(lib, f"cs_field_stats_{suffix}")
+        fn.argtypes = [cptr, cptr, i64, i32, pd]
+        fn.restype = None
+    pd64 = ctypes.POINTER(ctypes.c_double)
+    for name in ("cs_pack_expand_f32", "cs_pack_expand_grouped_f32"):
+        fn = getattr(lib, name)
+        fn.argtypes = [
+            ctypes.POINTER(pd64), ctypes.POINTER(ctypes.c_int64),
+            i64, i64, i64, i64, i64,
+            ctypes.POINTER(ctypes.c_float), i32,
+        ]
+        fn.restype = None
+    lib.cs_hardware_threads.restype = ctypes.c_int
 
 
 _EXPAND = {
@@ -98,13 +111,17 @@ _EXPAND = {
 }
 
 
-def expand_native(field: np.ndarray, ngptot: int, nthreads: int = 0):
-    """Threaded cyclic tile of the trailing axis; None if unavailable."""
+def expand_native(field: np.ndarray, ngptot: int, nthreads: int = 0,
+                  grouped: bool = False):
+    """Threaded tile of the trailing axis (cyclic, or grouped = each source
+    column's copies contiguous); None if unavailable."""
     lib = get_lib()
     if lib is None or field.dtype not in _EXPAND:
         return None
     field = np.ascontiguousarray(field)
     name, ctype = _EXPAND[field.dtype]
+    if grouped:
+        name = name.replace("cs_expand_", "cs_expand_grouped_")
     klon = field.shape[-1]
     nrows = int(np.prod(field.shape[:-1], dtype=np.int64)) if field.ndim > 1 else 1
     dst = np.empty(field.shape[:-1] + (ngptot,), dtype=field.dtype)

@@ -58,6 +58,30 @@ void expand_rows(const T* src, T* dst, int64_t nrows, int64_t klon,
   });
 }
 
+// Grouped-layout tile of the trailing axis: all copies of source column g
+// are written contiguously, group g spanning [off_g, off_g + count_g) with
+// count_g = ceil((ngptot - g) / klon) — a column permutation of the cyclic
+// expansion (see expand.group_counts / group_inverse).
+template <typename T>
+void expand_rows_grouped(const T* src, T* dst, int64_t nrows, int64_t klon,
+                         int64_t ngptot, int nthreads) {
+  nthreads = std::min<int64_t>(resolve_threads(nthreads), std::max<int64_t>(nrows, 1));
+  parallel_for_threads(static_cast<int>(nthreads), [=](int t) {
+    int64_t lo = nrows * t / nthreads;
+    int64_t hi = nrows * (t + 1) / nthreads;
+    for (int64_t r = lo; r < hi; ++r) {
+      const T* s = src + r * klon;
+      T* d = dst + r * ngptot;
+      int64_t off = 0;
+      for (int64_t g = 0; g < klon && off < ngptot; ++g) {
+        int64_t cnt = (ngptot - g + klon - 1) / klon;
+        std::fill(d + off, d + off + cnt, s[g]);
+        off += cnt;
+      }
+    }
+  });
+}
+
 // Single-pass validation statistics over one field vs its reference:
 // min, max, max|err|, sum|err|, sum|ref|  (ref: validate_mod.F90:263-296)
 template <typename T>
@@ -205,6 +229,23 @@ void cs_expand_i32(const int32_t* src, int32_t* dst, int64_t nrows,
 void cs_expand_u8(const uint8_t* src, uint8_t* dst, int64_t nrows,
                   int64_t klon, int64_t ngptot, int nthreads) {
   expand_rows(src, dst, nrows, klon, ngptot, nthreads);
+}
+
+void cs_expand_grouped_f64(const double* src, double* dst, int64_t nrows,
+                           int64_t klon, int64_t ngptot, int nthreads) {
+  expand_rows_grouped(src, dst, nrows, klon, ngptot, nthreads);
+}
+void cs_expand_grouped_f32(const float* src, float* dst, int64_t nrows,
+                           int64_t klon, int64_t ngptot, int nthreads) {
+  expand_rows_grouped(src, dst, nrows, klon, ngptot, nthreads);
+}
+void cs_expand_grouped_i32(const int32_t* src, int32_t* dst, int64_t nrows,
+                           int64_t klon, int64_t ngptot, int nthreads) {
+  expand_rows_grouped(src, dst, nrows, klon, ngptot, nthreads);
+}
+void cs_expand_grouped_u8(const uint8_t* src, uint8_t* dst, int64_t nrows,
+                          int64_t klon, int64_t ngptot, int nthreads) {
+  expand_rows_grouped(src, dst, nrows, klon, ngptot, nthreads);
 }
 
 void cs_field_stats_f64(const double* field, const double* ref, int64_t n,

@@ -753,9 +753,10 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             zqxfg[m] = zqxfg[m] + zfallsrce[m]
             zqpretot = zqpretot + madd(not_first, zqxfg[m])
 
-        # 4.3p precip cover overlap, MAX-RAN (ref: 1767-1784)
+        # 4.3p precip cover overlap, MAX-RAN (ref: 1767-1784); zcovptot here
+        # is the ops-seeded carry value (inert_skip contract: read every
+        # modified array from ops, never through the closure)
         has_pre = zqpretot > ZEPSEC
-        zcovptot = carry["zcovptot"]
         zcovptot_new = 1.0 - (
             (1.0 - zcovptot)
             * (1.0 - jnp.maximum(za, x["za_prev"]))

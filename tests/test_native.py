@@ -34,6 +34,25 @@ def test_expand_matches_numpy(dtype, shape, ngptot):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("dtype", [np.float64, np.float32, np.int32, np.bool_])
+@pytest.mark.parametrize("shape", [(100,), (137, 100)])
+@pytest.mark.parametrize("ngptot", [100, 250, 4096])
+def test_expand_grouped_matches_numpy(dtype, shape, ngptot):
+    from cloudsc_tpu.data.expand import group_counts
+
+    rng = np.random.default_rng(2)
+    if dtype == np.bool_:
+        src = rng.random(shape) > 0.5
+    elif dtype == np.int32:
+        src = rng.integers(0, 100, shape).astype(np.int32)
+    else:
+        src = rng.standard_normal(shape).astype(dtype)
+    got = expand_native(src, ngptot, grouped=True)
+    assert got is not None
+    want = np.repeat(src, group_counts(shape[-1], ngptot), axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_field_stats_matches_numpy():
     rng = np.random.default_rng(1)
     field = rng.standard_normal((137, 5000))
