@@ -1,0 +1,31 @@
+#!/bin/bash
+# One-shot TPU measurement session: run everything worth measuring the
+# moment the tunneled chip is reachable, logging to bench/lab11_grouped.log.
+# Order matters — the decisive grouped-vs-cyclic comparison runs first so a
+# flaky tunnel still yields the key number. Every step is under timeout
+# (never pkill; see CLAUDE.md).
+set -u
+cd "$(dirname "$0")/.."
+LOG=bench/lab11_grouped.log
+exec > >(tee -a "$LOG") 2>&1
+
+echo "=== TPU session $(date -u +%FT%TZ) ==="
+
+echo "--- [1] bench.py, grouped layout (default) ---"
+timeout 560 python bench.py
+
+echo "--- [2] bench.py, cyclic layout (CLOUDSC_GROUP_COLUMNS=0) ---"
+CLOUDSC_GROUP_COLUMNS=0 timeout 560 python bench.py
+
+echo "--- [3] kernel_lab grouped vs cyclic (identical methodology) ---"
+timeout 560 python bench/kernel_lab.py --order cyclic grouped --lps 6
+
+echo "--- [4] kernel_lab section attribution under grouped layout ---"
+timeout 580 python bench/kernel_lab.py --order grouped --lps 6 \
+    --skip "" s521 s34c s37 s522 s31 s33
+
+echo "--- [5] CLI smoke, both engines (verify surfaces) ---"
+timeout 560 python -m cloudsc_tpu 1 16384 128 --kernel pallas | tail -30
+timeout 560 python -m cloudsc_tpu 1 16384 128 --kernel scan | tail -5
+
+echo "=== session done $(date -u +%FT%TZ) ==="
