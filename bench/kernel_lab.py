@@ -57,9 +57,11 @@ def main() -> int:
     p.add_argument("--lps", type=int, nargs="+", default=[2])
     p.add_argument("--modes", nargs="+", default=["full"])
     p.add_argument("--order", nargs="+", default=["cyclic"],
-                   choices=["cyclic", "grouped"],
+                   choices=["cyclic", "grouped", "sorted"],
                    help="column expansion layout(s) to sweep: grouped makes "
-                        "tiles homogeneous so per-tile skips fire per-column")
+                        "tiles homogeneous so per-tile skips fire per-column; "
+                        "sorted additionally orders the source columns by "
+                        "activity (expand.activity_perm — the driver default)")
     p.add_argument("--skip", nargs="+", default=[""],
                    help="comma-joined section tags to skip, swept one value "
                         "per run (attribution; '' = full physics)")
@@ -93,8 +95,19 @@ def main() -> int:
             # lps must be pinned BEFORE packing: the pad-row decision at pack
             # time (_lps_for) has to agree with the kernel's level blocking
             os.environ["CLOUDSC_PALLAS_LPS"] = str(lps)
-            packed, ncol = pack_inputs_raw(inp, sb, params,
-                                           column_order=order)
+            perm = None
+            if order == "sorted":
+                from cloudsc_tpu.data.expand import activity_perm
+
+                perm = activity_perm(
+                    inp.fields["PCLV"], inp.fields["TENDENCY_TMP_CLD"],
+                    inp.ptsphy, params.ydecldp.rlmin,
+                )
+            packed, ncol = pack_inputs_raw(
+                inp, sb, params,
+                column_order="grouped" if order == "sorted" else order,
+                column_perm=perm,
+            )
             packed = jax.device_put(packed)
             jax.block_until_ready(packed)
             for mode, skip in ((m, s) for m in a.modes for s in a.skip):

@@ -75,16 +75,57 @@ def group_counts(klon: int, ncol: int) -> np.ndarray:
     return np.maximum(0, -(-(ncol - g) // klon))
 
 
-def group_inverse(klon: int, ncol: int) -> np.ndarray:
+def group_inverse(klon: int, ncol: int,
+                  perm: np.ndarray | None = None) -> np.ndarray:
     """inv mapping canonical (cyclic) column j to a grouped-layout column
     holding the same source column (the first member of group j % klon).
     Copies of a source column are bitwise-identical through the scheme
     (columns are independent and the dynamic skips are value-exact), so
     gathering grouped outputs with inv reconstructs the canonical outputs
-    exactly."""
+    exactly.
+
+    `perm` is the optional source-column permutation applied BEFORE the
+    grouped expansion (activity sorting): group position p then holds
+    source perm[p], and inv routes each canonical column to its source's
+    position. Requires ncol >= klon so every source has at least one copy
+    (position counts are position-based, not source-based)."""
     counts = group_counts(klon, ncol)
     off = np.concatenate([[0], np.cumsum(counts[:-1])])
+    if perm is not None:
+        if ncol < klon:
+            raise ValueError("sorted grouping requires ncol >= klon")
+        pos = np.empty(klon, dtype=np.int64)
+        pos[np.asarray(perm, dtype=np.int64)] = np.arange(klon, dtype=np.int64)
+        off = off[pos]
     return off[np.arange(ncol, dtype=np.int64) % klon].astype(np.int32)
+
+
+def activity_perm(pclv: np.ndarray, tcld: np.ndarray, ptsphy: float,
+                  rlmin: float) -> np.ndarray:
+    """Ascending-activity ordering of the source columns (an argsort, so a
+    pure permutation — bitwise-neutral through the scheme for ANY key).
+
+    Key: project the start-of-step condensates (PCLV + dt * TENDENCY_TMP_CLD,
+    the section-1 state, ref: cloudsc.F90:669-682), mark levels whose total
+    condensate exceeds RLMIN, and order by (levels from the topmost active
+    level to the bottom, number of active levels). Falling precipitation
+    keeps a column's levels BELOW its topmost condensate busy (flux carries,
+    ref: 2698-2702 -> 1720-1726), so top-active span tracks the per-level
+    guard activity better than the active-level count alone. Clear columns
+    (span 0) sort first and pack into fully-inert tiles.
+
+    With tiles laid out over the grouped (contiguous-copies) expansion this
+    makes each tile's few distinct sources have SIMILAR activity profiles,
+    pushing the per-tile dynamic-skip rate to the per-column ceiling
+    (plain source order leaves tiles mixing adjacent snapshot columns)."""
+    q = np.asarray(pclv, np.float64)[:4] + float(ptsphy) * np.asarray(
+        tcld, np.float64
+    )[:4]
+    act = np.maximum(q, 0.0).sum(axis=0) > rlmin        # (nlev, klon)
+    nlev = act.shape[0]
+    first = np.where(act.any(axis=0), act.argmax(axis=0), nlev)
+    span = nlev - first
+    return np.lexsort((act.sum(axis=0), span)).astype(np.int64)
 
 
 def pad_columns(field: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:

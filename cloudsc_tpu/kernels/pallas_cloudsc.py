@@ -597,7 +597,8 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
 
 
 def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
-                    dtype=None, column_order: str = "cyclic"):
+                    dtype=None, column_order: str = "cyclic",
+                    column_perm=None):
     """Packed-storage pytree straight from an InputData — fused native path.
 
     Unlike `pack_inputs` (which consumes an already-expanded field dict),
@@ -611,7 +612,10 @@ def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
     column_order="grouped" lays each source column's copies out
     contiguously (a permutation of the cyclic layout; the requested order
     is honored on the fallback path too) — see data.expand.group_inverse
-    for mapping outputs back to canonical order."""
+    for mapping outputs back to canonical order. `column_perm` (grouped
+    only, requires ngptot >= file width) additionally permutes the SOURCE
+    columns before grouping — activity sorting (data.expand.activity_perm);
+    pass the same perm to group_inverse for the output mapping."""
     import numpy as np
 
     from ..physics.cloudsc import make_inputs
@@ -620,10 +624,13 @@ def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
     ncol = inp.ngptot
     nlev = inp.klev
     grouped = column_order == "grouped"
+    if column_perm is not None and not grouped:
+        raise ValueError("column_perm requires column_order='grouped'")
 
     if dtype is not None and jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         fields = make_inputs(inp, dtype=dtype, host=True,
-                             column_order=column_order)
+                             column_order=column_order,
+                             column_perm=column_perm)
         return pack_inputs(fields, sublanes, params, config)
 
     from ..native import pack_expand_native
@@ -636,28 +643,35 @@ def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
         c = scheme.derived_consts(params, 1.0, jnp.float32, config)
         aer = _aer_rows(c)
 
+    def _p(a):
+        # source-column permutation (tiny file-width arrays) ahead of the
+        # native grouped pack: position p of the layout then holds source
+        # column_perm[p]
+        return a if column_perm is None else np.asarray(a)[..., column_perm]
+
     def src(name):
         if name.startswith("pclv"):
-            return f["PCLV"][int(name[4:])]
+            return _p(f["PCLV"][int(name[4:])])
         if name.startswith("tcld"):
-            return f["TENDENCY_TMP_CLD"][int(name[4:])]
-        return f[name.upper()]
+            return _p(f["TENDENCY_TMP_CLD"][int(name[4:])])
+        return _p(f[name.upper()])
 
     pad = 1 if _lps_for(nlev) > 1 else 0
-    rows = [src(n) for n in _PACK_ROWS] + [f[n.upper()] for n in aer]
+    rows = [src(n) for n in _PACK_ROWS] + [_p(f[n.upper()]) for n in aer]
     pack = pack_expand_native(rows, ncol, target, nlev + pad, grouped=grouped)
-    nxt = pack_expand_native([f["PMFU"], f["PMFD"], f["PLU"]],
+    nxt = pack_expand_native([_p(f["PMFU"]), _p(f["PMFD"]), _p(f["PLU"])],
                              ncol, target, nlev + pad, grouped=grouped)
-    paph = pack_expand_native([f["PAPH"]], ncol, target, nlev + 1,
+    paph = pack_expand_native([_p(f["PAPH"])], ncol, target, nlev + 1,
                               grouped=grouped)
     col = pack_expand_native(
-        [f["PLSM"], np.asarray(f["LDCUM"], np.float64),
-         np.asarray(f["KTYPE"], np.float64), f["PAPH"][nlev]],
+        [_p(f["PLSM"]), _p(np.asarray(f["LDCUM"], np.float64)),
+         _p(np.asarray(f["KTYPE"], np.float64)), _p(f["PAPH"][nlev])],
         ncol, target, 1, grouped=grouped,
     )
     if any(x is None for x in (pack, nxt, paph, col)):
         fields = make_inputs(inp, dtype=jnp.float32, host=True,
-                             column_order=column_order)
+                             column_order=column_order,
+                             column_perm=column_perm)
         return pack_inputs(fields, sublanes, params, config)
     return dict(
         pack=pack.reshape(pack.shape[0], pack.shape[1], nblk, LANES),

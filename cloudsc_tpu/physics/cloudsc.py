@@ -56,7 +56,7 @@ class CloudscOutputs(NamedTuple):
 
 
 def make_inputs(inp, dtype=jnp.float64, host: bool = False,
-                column_order: str = "cyclic") -> dict:
+                column_order: str = "cyclic", column_perm=None) -> dict:
     """Convert a loaded InputData into the field dict cloudsc() consumes.
 
     host=True keeps the arrays in numpy (no device transfer) — used by the
@@ -68,11 +68,14 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
     cast at file width FIRST, then expanded — the cheap order (a fp32
     expand writes half the bytes of expand-then-cast). column_order selects
     the expansion layout (data.expand.expand_field): "grouped" is the
-    activity-grouped permutation the packed Pallas path uses."""
+    activity-grouped permutation the packed Pallas path uses; column_perm
+    (grouped only) pre-permutes the source columns (activity sorting)."""
     import numpy as np
 
     from ..data.expand import expand_field
 
+    if column_perm is not None and column_order != "grouped":
+        raise ValueError("column_perm requires column_order='grouped'")
     xp = np if host else jnp
     f = inp.fields
     ngptot = inp.ngptot
@@ -83,6 +86,8 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
         if a.dtype != to:
             a = a.astype(to)
         if a.shape[-1] != ngptot:
+            if column_perm is not None:
+                a = a[..., column_perm]
             a = expand_field(a, ngptot, order=column_order)
         return a if host else jnp.asarray(a)
 

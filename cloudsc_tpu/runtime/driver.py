@@ -85,6 +85,15 @@ class CloudscDriver:
             and jax.process_count() == 1
             and os.environ.get("CLOUDSC_GROUP_COLUMNS", "1") != "0"
         )
+        # activity sorting of the grouped layout (CLOUDSC_GROUP_SORT=0
+        # reverts to plain source order): order the source columns by a host
+        # heuristic of their guard activity so tiles cluster similar-activity
+        # columns (data.expand.activity_perm) — still a pure permutation
+        self.group_sort = (
+            self.grouped
+            and os.environ.get("CLOUDSC_GROUP_SORT", "1") != "0"
+        )
+        self._group_perm = None
         # interpret-mode escape hatch so the packed/pallas driver glue is
         # testable on CPU (tests/test_grouped_columns.py); never set on TPU
         self.interpret = (
@@ -181,9 +190,20 @@ class CloudscDriver:
             gran = self.sublanes
             if self.mesh is not None:
                 gran *= int(self.mesh.devices.size)
+            self._group_perm = None
+            if self.group_sort:
+                from ..data.expand import activity_perm
+
+                klon = int(np.asarray(inp.fields["PT"]).shape[-1])
+                if klon < ncol:  # identity layout otherwise
+                    self._group_perm = activity_perm(
+                        inp.fields["PCLV"], inp.fields["TENDENCY_TMP_CLD"],
+                        inp.ptsphy, self.params.ydecldp.rlmin,
+                    )
             packed, _ = pack_inputs_raw(
                 inp, gran, self.params, self.scheme_config, dtype=self.dtype,
                 column_order="grouped" if self.grouped else "cyclic",
+                column_perm=self._group_perm,
             )
             return packed, ncol
         fields = make_inputs(inp, dtype=self.dtype)
@@ -209,7 +229,9 @@ class CloudscDriver:
         klon = int(np.asarray(inp.fields["PT"]).shape[-1])
         if klon == ncol:
             return out
-        inv = jax.numpy.asarray(group_inverse(klon, ncol))
+        inv = jax.numpy.asarray(
+            group_inverse(klon, ncol, perm=self._group_perm)
+        )
         return jax.tree.map(lambda a: a[..., inv], out)
 
     # -- execution ---------------------------------------------------------------

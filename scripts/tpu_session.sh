@@ -14,14 +14,17 @@ echo "=== TPU session $(date -u +%FT%TZ) ==="
 echo "--- [1] bench.py, grouped layout (default) ---"
 timeout 560 python bench.py
 
-echo "--- [2] bench.py, cyclic layout (CLOUDSC_GROUP_COLUMNS=0) ---"
+echo "--- [2a] bench.py, grouped unsorted (CLOUDSC_GROUP_SORT=0) ---"
+CLOUDSC_GROUP_SORT=0 timeout 560 python bench.py
+
+echo "--- [2b] bench.py, cyclic layout (CLOUDSC_GROUP_COLUMNS=0) ---"
 CLOUDSC_GROUP_COLUMNS=0 timeout 560 python bench.py
 
-echo "--- [3] kernel_lab grouped vs cyclic (identical methodology) ---"
-timeout 560 python bench/kernel_lab.py --order cyclic grouped --lps 6
+echo "--- [3] kernel_lab cyclic vs grouped vs sorted (identical methodology) ---"
+timeout 580 python bench/kernel_lab.py --order cyclic grouped sorted --lps 6
 
-echo "--- [4] kernel_lab section attribution under grouped layout ---"
-timeout 580 python bench/kernel_lab.py --order grouped --lps 6 \
+echo "--- [4] kernel_lab section attribution under the sorted layout ---"
+timeout 580 python bench/kernel_lab.py --order sorted --lps 6 \
     --skip "" s521 s34c s37 s522 s31 s33
 
 echo "--- [5] CLI smoke, both engines (verify surfaces) ---"

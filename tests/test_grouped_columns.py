@@ -17,6 +17,7 @@ import pytest
 
 from cloudsc_tpu.data import load_input
 from cloudsc_tpu.data.expand import (
+    activity_perm,
     expand_field,
     group_counts,
     group_inverse,
@@ -41,6 +42,36 @@ def test_group_permutation_properties(klon, ncol):
     inv = group_inverse(klon, ncol)
     assert inv.shape == (ncol,)
     np.testing.assert_array_equal(grouped_src[inv], cyclic_src)
+
+
+@pytest.mark.parametrize("klon,ncol", [(7, 23), (100, 256), (5, 5),
+                                       (100, 163840)])
+def test_group_inverse_with_source_permutation(klon, ncol):
+    """Sorted grouping = pre-permuted sources + plain grouped layout; the
+    perm-aware inverse must route every canonical column to a position
+    holding its source."""
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(klon).astype(np.int64)
+    counts = group_counts(klon, ncol)          # position-based counts
+    layout_src = np.repeat(perm, counts)       # source held at each position
+    inv = group_inverse(klon, ncol, perm=perm)
+    np.testing.assert_array_equal(
+        layout_src[inv], np.arange(ncol, dtype=np.int64) % klon
+    )
+
+
+def test_activity_perm_is_valid_and_deterministic():
+    rng = np.random.default_rng(4)
+    nclv, nlev, klon = 5, 9, 11
+    pclv = np.abs(rng.standard_normal((nclv, nlev, klon))) * 1e-6
+    tcld = rng.standard_normal((nclv, nlev, klon)) * 1e-10
+    pclv[:, :, 0] = 0.0  # a fully clear column
+    tcld[:, :, 0] = 0.0
+    p1 = activity_perm(pclv, tcld, 3600.0, 1e-8)
+    p2 = activity_perm(pclv, tcld, 3600.0, 1e-8)
+    np.testing.assert_array_equal(p1, p2)
+    assert sorted(p1) == list(range(klon))
+    assert p1[0] == 0  # the clear column sorts first
 
 
 def test_expand_field_grouped_is_permutation():
@@ -100,27 +131,34 @@ def test_grouped_pallas_outputs_bitwise_equal_cyclic():
 
 
 def test_driver_grouped_matches_cyclic(monkeypatch):
-    """The driver glue: prepare() packs grouped, run() gathers outputs back
-    to canonical order — returned outputs must be bitwise identical to a
-    cyclic-layout run (interpret-mode pallas backend on CPU)."""
+    """The driver glue: prepare() packs grouped (plain and activity-sorted),
+    run() gathers outputs back to canonical order — returned outputs must be
+    bitwise identical to a cyclic-layout run (interpret-mode pallas backend
+    on CPU)."""
     from cloudsc_tpu.runtime.driver import CloudscDriver
 
     monkeypatch.setenv("CLOUDSC_PALLAS_INTERPRET", "1")
     inp = load_input(INPUT_PATH, ngptot=256, expand=False)
     params = Params.from_input(inp)
     outs = {}
-    for group in ("1", "0"):
+    for group, sort in (("1", "1"), ("1", "0"), ("0", "0")):
         monkeypatch.setenv("CLOUDSC_GROUP_COLUMNS", group)
+        monkeypatch.setenv("CLOUDSC_GROUP_SORT", sort)
         d = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32,
                           backend="pallas", sublanes=1)
         assert d.grouped == (group == "1")
+        assert d.group_sort == (group == "1" and sort == "1")
         out, _, _ = d.run(inp, iterations=1)
-        outs[group] = out
-    for name in outs["0"]._fields:
-        np.testing.assert_array_equal(
-            np.asarray(getattr(outs["0"], name)),
-            np.asarray(getattr(outs["1"], name)), err_msg=name,
-        )
+        if group == "1" and sort == "1":
+            assert d._group_perm is not None
+        outs[(group, sort)] = out
+    base = outs[("0", "0")]
+    for key in (("1", "0"), ("1", "1")):
+        for name in base._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base, name)),
+                np.asarray(getattr(outs[key], name)), err_msg=f"{key} {name}",
+            )
 
 
 def test_grouped_mesh_outputs_bitwise_equal_cyclic():

@@ -122,3 +122,33 @@ def test_pack_inputs_raw_grouped_matches_numpy_fallback(monkeypatch):
                 np.asarray(p_nat[k]), np.asarray(p_fb[k]),
                 err_msg=f"{k} ngptot={ng}",
             )
+
+
+def test_pack_inputs_raw_sorted_matches_numpy_fallback(monkeypatch):
+    """Same agreement with a source-column permutation (activity sorting)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import cloudsc_tpu.native as native
+    from cloudsc_tpu.data import load_input
+    from cloudsc_tpu.data.expand import activity_perm
+    from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs_raw
+    from cloudsc_tpu.params import Params
+    from conftest import REFERENCE_DATA
+
+    ng = 4096
+    raw = load_input(REFERENCE_DATA, ngptot=ng, expand=False)
+    params = Params.from_input(raw)
+    perm = activity_perm(raw.fields["PCLV"], raw.fields["TENDENCY_TMP_CLD"],
+                         raw.ptsphy, params.ydecldp.rlmin)
+    assert sorted(perm) == list(range(len(perm)))
+    p_nat, _ = pack_inputs_raw(raw, 32, params, dtype=jnp.float32,
+                               column_order="grouped", column_perm=perm)
+    with monkeypatch.context() as m:
+        m.setattr(native, "pack_expand_native", lambda *a, **k: None)
+        p_fb, _ = pack_inputs_raw(raw, 32, params, dtype=jnp.float32,
+                                  column_order="grouped", column_perm=perm)
+    for k in p_fb:
+        np.testing.assert_array_equal(
+            np.asarray(p_nat[k]), np.asarray(p_fb[k]), err_msg=k,
+        )
