@@ -108,11 +108,13 @@ def activity_perm(pclv: np.ndarray, tcld: np.ndarray, ptsphy: float,
     Key: project the start-of-step condensates (PCLV + dt * TENDENCY_TMP_CLD,
     the section-1 state, ref: cloudsc.F90:669-682), mark levels whose total
     condensate exceeds RLMIN, and order by (levels from the topmost active
-    level to the bottom, number of active levels). Falling precipitation
-    keeps a column's levels BELOW its topmost condensate busy (flux carries,
-    ref: 2698-2702 -> 1720-1726), so top-active span tracks the per-level
-    guard activity better than the active-level count alone. Clear columns
-    (span 0) sort first and pack into fully-inert tiles.
+    level to the bottom, number of active levels), MOST active first.
+    Falling precipitation keeps a column's levels BELOW its topmost
+    condensate busy (flux carries, ref: 2698-2702 -> 1720-1726), so
+    top-active span tracks the per-level guard activity better than the
+    active-level count alone. Clear columns (span 0) sort LAST and pack
+    into fully-inert tiles — descending so the tile edge-padding, which
+    replicates the final column, duplicates the least-active one.
 
     With tiles laid out over the grouped (contiguous-copies) expansion this
     makes each tile's few distinct sources have SIMILAR activity profiles,
@@ -125,7 +127,7 @@ def activity_perm(pclv: np.ndarray, tcld: np.ndarray, ptsphy: float,
     nlev = act.shape[0]
     first = np.where(act.any(axis=0), act.argmax(axis=0), nlev)
     span = nlev - first
-    return np.lexsort((act.sum(axis=0), span)).astype(np.int64)
+    return np.lexsort((act.sum(axis=0), span))[::-1].astype(np.int64)
 
 
 def pad_columns(field: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:

@@ -71,7 +71,9 @@ def test_activity_perm_is_valid_and_deterministic():
     p2 = activity_perm(pclv, tcld, 3600.0, 1e-8)
     np.testing.assert_array_equal(p1, p2)
     assert sorted(p1) == list(range(klon))
-    assert p1[0] == 0  # the clear column sorts first
+    # descending activity: the clear column sorts last (edge padding
+    # replicates the final column, so it must be the least active)
+    assert p1[-1] == 0
 
 
 def test_expand_field_grouped_is_permutation():
