@@ -51,6 +51,37 @@ def pyscan(f, init, xs, **kw):
     return carry, ys
 
 
+def tile_rates(a: np.ndarray, inp, params, ngptot: int = 163840,
+               tile: int = 32 * 128) -> dict:
+    """Predicted per-tile activity rate (fraction of (tile, level) units
+    where ANY column in the tile is active — the rate the kernel's lax.cond
+    actually fires at) for each column layout, from the recorded
+    per-(level, source) masks. Pure host model of the real tiling."""
+    from cloudsc_tpu.data.expand import activity_perm, group_counts
+
+    nlev, klon = a.shape
+    counts = group_counts(klon, ngptot)
+    out = {}
+    for name in ("cyclic", "grouped", "sorted"):
+        if name == "cyclic":
+            src = np.arange(ngptot, dtype=np.int64) % klon
+        else:
+            perm = np.arange(klon, dtype=np.int64)
+            if name == "sorted":
+                perm = activity_perm(
+                    inp.fields["PCLV"], inp.fields["TENDENCY_TMP_CLD"],
+                    inp.ptsphy, params.ydecldp.rlmin,
+                )
+            src = np.repeat(perm, counts)
+        # edge-pad to whole tiles exactly like the packer
+        target = -(-ngptot // tile) * tile
+        src = np.concatenate([src, np.full(target - ngptot, src[-1])])
+        ntile = target // tile
+        per_tile = a[:, src.reshape(ntile, tile)]        # (nlev, ntile, tile)
+        out[name] = float(per_tile.any(axis=2).mean())
+    return out
+
+
 def main():
     inp = load_input(default_input_path(), ngptot=100)
     params = Params.from_input(inp)
@@ -101,6 +132,9 @@ def main():
               f"median {p50:.2f}  p75 {p75:.2f}  "
               f"max {per_col.max():.2f}  ncols-fully-inert "
               f"{(per_col == 0).sum()}")
+        rates = tile_rates(a, inp, params)
+        print(f"{'':>8} predicted (SB=32)-tile fire rate at 160K cols: "
+              + "  ".join(f"{k} {100 * v:.1f}%" for k, v in rates.items()))
 
 
 if __name__ == "__main__":
