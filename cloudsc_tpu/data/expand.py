@@ -101,7 +101,7 @@ def group_inverse(klon: int, ncol: int,
 
 
 def activity_perm(pclv: np.ndarray, tcld: np.ndarray, ptsphy: float,
-                  rlmin: float) -> np.ndarray:
+                  rlmin: float, nshards: int = 1) -> np.ndarray:
     """Ascending-activity ordering of the source columns (an argsort, so a
     pure permutation — bitwise-neutral through the scheme for ANY key).
 
@@ -119,7 +119,14 @@ def activity_perm(pclv: np.ndarray, tcld: np.ndarray, ptsphy: float,
     With tiles laid out over the grouped (contiguous-copies) expansion this
     makes each tile's few distinct sources have SIMILAR activity profiles,
     pushing the per-tile dynamic-skip rate to the per-column ceiling
-    (plain source order leaves tiles mixing adjacent snapshot columns)."""
+    (plain source order leaves tiles mixing adjacent snapshot columns).
+
+    `nshards` > 1 (column-mesh runs: the layout is split contiguously over
+    the devices by shard_packed) deals the sorted sources round-robin
+    across the shards so every device receives a similar activity mix —
+    a fully contiguous sort would hand one device all the busy columns and
+    make it the SPMD straggler. Within a shard, stride-nshards neighbors
+    still have near-identical activity rank, so tiles stay clustered."""
     q = np.asarray(pclv, np.float64)[:4] + float(ptsphy) * np.asarray(
         tcld, np.float64
     )[:4]
@@ -127,7 +134,10 @@ def activity_perm(pclv: np.ndarray, tcld: np.ndarray, ptsphy: float,
     nlev = act.shape[0]
     first = np.where(act.any(axis=0), act.argmax(axis=0), nlev)
     span = nlev - first
-    return np.lexsort((act.sum(axis=0), span))[::-1].astype(np.int64)
+    order = np.lexsort((act.sum(axis=0), span))[::-1].astype(np.int64)
+    if nshards > 1:
+        order = np.concatenate([order[s::nshards] for s in range(nshards)])
+    return order
 
 
 def pad_columns(field: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:

@@ -199,6 +199,8 @@ class CloudscDriver:
                     self._group_perm = activity_perm(
                         inp.fields["PCLV"], inp.fields["TENDENCY_TMP_CLD"],
                         inp.ptsphy, self.params.ydecldp.rlmin,
+                        nshards=(self.mesh.devices.size
+                                 if self.mesh is not None else 1),
                     )
             packed, _ = pack_inputs_raw(
                 inp, gran, self.params, self.scheme_config, dtype=self.dtype,

@@ -74,6 +74,16 @@ def test_activity_perm_is_valid_and_deterministic():
     # descending activity: the clear column sorts last (edge padding
     # replicates the final column, so it must be the least active)
     assert p1[-1] == 0
+    # shard-dealt variant (mesh runs): still a permutation, and the busiest
+    # columns spread one-per-shard instead of all landing on shard 0
+    p8 = activity_perm(pclv, tcld, 3600.0, 1e-8, nshards=4)
+    assert sorted(p8) == list(range(klon))
+    shard_of = np.empty(klon, np.int64)
+    for s in range(4):
+        lo = s * (klon // 4) + min(s, klon % 4)
+        shard_of[lo:lo + klon // 4 + (s < klon % 4)] = s
+    top4 = [int(np.where(p8 == c)[0][0]) for c in p1[:4]]
+    assert sorted(shard_of[top4]) == [0, 1, 2, 3]
 
 
 def test_expand_field_grouped_is_permutation():
