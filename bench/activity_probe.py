@@ -52,7 +52,7 @@ def pyscan(f, init, xs, **kw):
 
 
 def tile_rates(a: np.ndarray, inp, params, ngptot: int = 163840,
-               tile: int = 32 * 128) -> dict:
+               tile: int = 32 * 128, nshards: int = 1) -> dict:
     """Predicted per-tile activity rate (fraction of (tile, level) units
     where ANY column in the tile is active — the rate the kernel's lax.cond
     actually fires at) for each column layout, from the recorded
@@ -70,7 +70,7 @@ def tile_rates(a: np.ndarray, inp, params, ngptot: int = 163840,
             if name == "sorted":
                 perm = activity_perm(
                     inp.fields["PCLV"], inp.fields["TENDENCY_TMP_CLD"],
-                    inp.ptsphy, params.ydecldp.rlmin,
+                    inp.ptsphy, params.ydecldp.rlmin, nshards=nshards,
                 )
             src = np.repeat(perm, counts)
         # edge-pad to whole tiles exactly like the packer
@@ -82,17 +82,19 @@ def tile_rates(a: np.ndarray, inp, params, ngptot: int = 163840,
     return out
 
 
-def main():
-    inp = load_input(default_input_path(), ngptot=100)
-    params = Params.from_input(inp)
-    fields = make_inputs(inp, dtype=jnp.float64)
+def record_masks(inp, params, cache="/tmp/cloudsc_activity_masks.npz"):
+    """Concrete per-(level, source-column) guard masks from one eager fp64
+    scan at 100 columns; cached to disk (the masks depend only on the
+    snapshot + wired scheme, not on any layout parameter)."""
+    if cache and os.path.exists(cache):
+        with np.load(cache) as z:
+            return {k: z[k] for k in z.files}
 
+    fields = make_inputs(inp, dtype=jnp.float64)
     records = {}  # tag -> list of (ncol,) bool arrays, one per level
 
     def hook(tag, mask):
         records.setdefault(tag, []).append(np.asarray(mask))
-
-    level_idx = [0]
 
     def pycond(pred, true_fn, false_fn, *ops):
         # eager branch execution so nested probe hooks see concrete masks
@@ -111,10 +113,7 @@ def main():
         scheme.probe_hook = orig_hook
 
     nlev_scanned = max(len(v) for v in records.values())
-    # Under the grouped (homogeneous-tile) layout a tile runs a section iff
-    # its single distinct column is active at that level, so the per-work-
-    # unit active fraction IS the grouped-layout skip ceiling.
-    print(f"{'guard':>8} {'lev x col act%':>15} {'any-col lev act%':>17}")
+    stacked = {}
     for tag, masks in records.items():
         a = np.stack(masks)  # (levels recorded, ncol)
         if a.shape[0] < nlev_scanned:
@@ -122,6 +121,30 @@ def main():
             # skipped, so this guard was all-False there (guard subset)
             pad = np.zeros((nlev_scanned - a.shape[0], a.shape[1]), bool)
             a = np.concatenate([a, pad])  # position is irrelevant to stats
+        stacked[tag] = a
+    if cache:
+        np.savez_compressed(cache, **stacked)
+    return stacked
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sb", type=int, nargs="*", default=[32],
+                    help="sublane tile heights to model (tile = SB*128 cols)")
+    ap.add_argument("--nshards", type=int, default=1,
+                    help="model the shard-dealt sorted layout for N shards")
+    args = ap.parse_args()
+
+    inp = load_input(default_input_path(), ngptot=100)
+    params = Params.from_input(inp)
+    records = record_masks(inp, params)
+    # Under the grouped (homogeneous-tile) layout a tile runs a section iff
+    # its single distinct column is active at that level, so the per-work-
+    # unit active fraction IS the grouped-layout skip ceiling.
+    print(f"{'guard':>8} {'lev x col act%':>15} {'any-col lev act%':>17}")
+    for tag, a in records.items():
         frac_work = a.mean()
         frac_levels_any = a.any(axis=1).mean()
         print(f"{tag:>8} {100 * frac_work:>14.1f}% {100 * frac_levels_any:>16.1f}%")
@@ -132,9 +155,11 @@ def main():
               f"median {p50:.2f}  p75 {p75:.2f}  "
               f"max {per_col.max():.2f}  ncols-fully-inert "
               f"{(per_col == 0).sum()}")
-        rates = tile_rates(a, inp, params)
-        print(f"{'':>8} predicted (SB=32)-tile fire rate at 160K cols: "
-              + "  ".join(f"{k} {100 * v:.1f}%" for k, v in rates.items()))
+        for sb in args.sb:
+            rates = tile_rates(a, inp, params, tile=sb * 128,
+                               nshards=args.nshards)
+            print(f"{'':>8} predicted (SB={sb})-tile fire rate at 160K cols: "
+                  + "  ".join(f"{k} {100 * v:.1f}%" for k, v in rates.items()))
 
 
 if __name__ == "__main__":

@@ -125,7 +125,7 @@ def sharded_cloudsc_packed(params, ptsphy: float, mesh: Mesh,
     shard; there are no collectives (the reference's compute path has no MPI
     either). Inputs come from `pack_inputs` + `shard_packed`."""
     from ..kernels.pallas_cloudsc import cloudsc_pallas
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def in_spec(v):
         return P(*([None] * (v.ndim - 2) + [COLUMN_AXIS, None]))
@@ -146,7 +146,7 @@ def sharded_cloudsc_packed(params, ptsphy: float, mesh: Mesh,
         )
         return shard_map(
             local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=False,
+            check_vma=False,
         )(packed)
 
     return jax.jit(fn)
@@ -220,7 +220,7 @@ def error_norms(field, ref, axis_name: str | None = None):
 
 def sharded_error_norms(mesh: Mesh, params=None):
     """shard_map'd error norms over the column mesh — the distributed VALIDATE."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @partial(
         shard_map,
