@@ -27,6 +27,9 @@ echo "--- [4] kernel_lab section attribution under the sorted layout ---"
 timeout 580 python bench/kernel_lab.py --order sorted --lps 6 \
     --skip "" s521 s34c s37 s522 s31 s33
 
+echo "--- [4b] SB sweep under the sorted layout (probe: SB=8 cuts s521 rate 27->22%) ---"
+timeout 580 python bench/kernel_lab.py --order sorted --lps 6 --sb 8 16 32
+
 echo "--- [5] CLI smoke, both engines (verify surfaces) ---"
 timeout 560 python -m cloudsc_tpu 1 16384 128 --kernel pallas | tail -30
 timeout 560 python -m cloudsc_tpu 1 16384 128 --kernel scan | tail -5
