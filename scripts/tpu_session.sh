@@ -30,6 +30,9 @@ timeout 580 python bench/kernel_lab.py --order sorted --lps 6 \
 echo "--- [4b] SB sweep under the sorted layout (probe: SB=8 cuts s521 rate 27->22%) ---"
 timeout 580 python bench/kernel_lab.py --order sorted --lps 6 --sb 8 16 32
 
+echo "--- [4c] lps sweep under the sorted layout (branchier body may shift the optimum) ---"
+timeout 580 python bench/kernel_lab.py --order sorted --lps 4 6 8 12
+
 echo "--- [5] CLI smoke, both engines (verify surfaces) ---"
 timeout 560 python -m cloudsc_tpu 1 16384 128 --kernel pallas | tail -30
 timeout 560 python -m cloudsc_tpu 1 16384 128 --kernel scan | tail -5
