@@ -82,10 +82,22 @@ def tile_rates(a: np.ndarray, inp, params, ngptot: int = 163840,
     return out
 
 
-def record_masks(inp, params, cache="/tmp/cloudsc_activity_masks.npz"):
+def record_masks(inp, params, cache_dir="/tmp"):
     """Concrete per-(level, source-column) guard masks from one eager fp64
-    scan at 100 columns; cached to disk (the masks depend only on the
-    snapshot + wired scheme, not on any layout parameter)."""
+    scan at 100 columns; cached to disk. The masks depend only on the
+    snapshot + wired scheme (not on any layout parameter), so the cache is
+    keyed on the scheme source and the active skip config — editing
+    scheme.py or setting CLOUDSC_SCHEME_SKIP invalidates it."""
+    import hashlib
+    import inspect
+
+    key = hashlib.sha256()
+    key.update(inspect.getsource(scheme).encode())
+    key.update(os.environ.get("CLOUDSC_SCHEME_SKIP", "").encode())
+    key.update(str(inp.ptsphy).encode())
+    cache = os.path.join(
+        cache_dir, f"cloudsc_activity_masks_{key.hexdigest()[:16]}.npz"
+    ) if cache_dir else None
     if cache and os.path.exists(cache):
         with np.load(cache) as z:
             return {k: z[k] for k in z.files}
@@ -131,7 +143,7 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sb", type=int, nargs="*", default=[32],
+    ap.add_argument("--sb", type=int, nargs="+", default=[32],
                     help="sublane tile heights to model (tile = SB*128 cols)")
     ap.add_argument("--nshards", type=int, default=1,
                     help="model the shard-dealt sorted layout for N shards")

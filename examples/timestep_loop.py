@@ -38,10 +38,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
-
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,11 +51,14 @@ STATE_KEYS = ("pt", "pq", "pa", "pclv", "tendency_tmp_t", "tendency_tmp_q",
               "tendency_tmp_a", "tendency_tmp_cld", "psupsat")
 
 
+def column_weight(fields, params):
+    """dp/g column-integral weight per level: kg water / m^2 per (kg/kg)."""
+    return (fields["paph"][1:] - fields["paph"][:-1]) / params.ydcst.rg
+
+
 def make_step(fields, params, dt):
     """The scan body advancing (T, q, a, cld) by CLOUDSC's own tendencies."""
-    rg = params.ydcst.rg
-    # column-integral weight dp/g per level: kg water / m^2 per (kg/kg)
-    dpog = (fields["paph"][1:] - fields["paph"][:-1]) / rg
+    dpog = column_weight(fields, params)
 
     def step(state, _):
         f = dict(fields)
@@ -93,8 +92,7 @@ def main():
     params = Params.from_input(inp)
     dt = inp.ptsphy
     fields = make_inputs(inp, dtype=jnp.float64)
-    rg = params.ydcst.rg
-    dpog = (fields["paph"][1:] - fields["paph"][:-1]) / rg
+    dpog = column_weight(fields, params)
     step = make_step(fields, params, dt)
 
     state0 = {k: fields[k] for k in STATE_KEYS}
@@ -133,4 +131,8 @@ def main():
 
 
 if __name__ == "__main__":
+    # config mutation only when run as a script — importers (the test suite)
+    # pick the platform themselves and must not have it flipped at import
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     main()

@@ -28,10 +28,16 @@ timeout 580 python bench/kernel_lab.py --order sorted --lps 6 \
     --skip "" s521 s34c s37 s522 s31 s33
 
 echo "--- [4b] SB sweep under the sorted layout (probe: SB=8 cuts s521 rate 27->22%) ---"
-timeout 580 python bench/kernel_lab.py --order sorted --lps 6 --sb 8 16 32
+# never-compiled kernel shapes: budget ~3 min Mosaic compile EACH, one
+# invocation per config so a timeout loses only that config
+for sb in 8 16 32; do
+    timeout 580 python bench/kernel_lab.py --order sorted --lps 6 --sb "$sb"
+done
 
 echo "--- [4c] lps sweep under the sorted layout (branchier body may shift the optimum) ---"
-timeout 580 python bench/kernel_lab.py --order sorted --lps 4 6 8 12
+for lps in 4 8 12; do
+    timeout 580 python bench/kernel_lab.py --order sorted --lps "$lps"
+done
 
 echo "--- [5] CLI smoke, both engines (verify surfaces) ---"
 timeout 560 python -m cloudsc_tpu 1 16384 128 --kernel pallas | tail -30

@@ -2,8 +2,8 @@
 
 The dwarf validates a single step; chaining steps through the scheme's own
 tendencies is how it runs in the IFS. These tests pin that the chained
-integration stays finite and physical, and that step 1 of the loop is
-bitwise the plain single-step call (the loop adds no numerical wrapper).
+integration stays finite and physical, and that step 1 of the loop matches
+the plain single-step call (the loop adds no numerical wrapper).
 """
 
 import sys
@@ -12,17 +12,19 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
 
-from timestep_loop import STATE_KEYS, make_step  # noqa: E402
+from timestep_loop import STATE_KEYS, column_weight, make_step  # noqa: E402
 
 from cloudsc_tpu.physics import cloudsc, make_inputs  # noqa: E402
 
 NSTEPS = 3
 
 
-def _integrate(input_100, params):
+@pytest.fixture(scope="module")
+def integration(input_100, params):
     fields = make_inputs(input_100, dtype=jnp.float64)
     step = make_step(fields, params, input_100.ptsphy)
     state0 = {k: fields[k] for k in STATE_KEYS}
@@ -32,8 +34,8 @@ def _integrate(input_100, params):
     return fields, state0, final, diags
 
 
-def test_chained_steps_finite_and_physical(input_100, params):
-    fields, state0, final, diags = _integrate(input_100, params)
+def test_chained_steps_finite_and_physical(integration, input_100, params):
+    fields, state0, final, diags = integration
     for k in ("pt", "pq", "pa", "pclv"):
         assert np.isfinite(np.asarray(final[k])).all(), k
     pa = np.asarray(final["pa"])
@@ -46,16 +48,15 @@ def test_chained_steps_finite_and_physical(input_100, params):
     # water budget: path change + surface precip = in-column source
     # (detrainment + supersat) >= 0 — the loop must not destroy water
     wpath = np.asarray(diags["wpath"])
-    rg = params.ydcst.rg
-    dpog = np.asarray(fields["paph"][1:] - fields["paph"][:-1]) / rg
+    dpog = np.asarray(column_weight(fields, params))
     q0 = (dpog * np.asarray(state0["pq"] + state0["pclv"][:4].sum(axis=0))
           ).sum(axis=0).mean()
     src = (wpath[-1] - q0) + input_100.ptsphy * sprecip.sum()
     assert src > -1e-9
 
 
-def test_first_loop_step_is_plain_single_step(input_100, params):
-    fields, state0, final, diags = _integrate(input_100, params)
+def test_first_loop_step_is_plain_single_step(integration, input_100, params):
+    fields, _, _, diags = integration
     out = jax.jit(
         lambda f: cloudsc(f, params, input_100.ptsphy)
     )(fields)
