@@ -173,6 +173,31 @@ def test_driver_grouped_matches_cyclic(monkeypatch):
             )
 
 
+def test_driver_grouped_small_ngptot(monkeypatch):
+    """ngptot < klon: fewer requested columns than the snapshot holds (the
+    reference's ctest runs e.g. `1 100 16`). The grouped expansion then has
+    empty groups and the activity sort must self-disable (driver only sorts
+    when klon < ncol) — outputs must still match the cyclic layout bitwise."""
+    from cloudsc_tpu.runtime.driver import CloudscDriver
+
+    monkeypatch.setenv("CLOUDSC_PALLAS_INTERPRET", "1")
+    inp = load_input(INPUT_PATH, ngptot=16, expand=False)
+    params = Params.from_input(inp)
+    outs = {}
+    for group in ("1", "0"):
+        monkeypatch.setenv("CLOUDSC_GROUP_COLUMNS", group)
+        d = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32,
+                          backend="pallas", sublanes=1)
+        out, _, _ = d.run(inp, iterations=1)
+        assert d._group_perm is None  # sort self-disabled below klon
+        outs[group] = out
+    for name in outs["0"]._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(outs["0"], name)),
+            np.asarray(getattr(outs["1"], name)), err_msg=name,
+        )
+
+
 def test_grouped_mesh_outputs_bitwise_equal_cyclic():
     """Grouped layout over the column mesh (shard_map + interpret kernel):
     the inverse gather crosses shard boundaries and must still reconstruct
