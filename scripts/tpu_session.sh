@@ -39,6 +39,11 @@ for lps in 4 8 12; do
     timeout 580 python bench/kernel_lab.py --order sorted --lps "$lps"
 done
 
+echo "--- [4d] size sweep under the grouped default (flatness check) ---"
+for ng in 65536 327680; do
+    CLOUDSC_BENCH_NGPTOT="$ng" timeout 580 python bench.py
+done
+
 echo "--- [5] CLI smoke, both engines (verify surfaces) ---"
 timeout 560 python -m cloudsc_tpu 1 16384 128 --kernel pallas | tail -30
 timeout 560 python -m cloudsc_tpu 1 16384 128 --kernel scan | tail -5
