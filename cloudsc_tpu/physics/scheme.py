@@ -656,6 +656,26 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         | (zqxfg[IR] > 0.0) | (zqxfg[IS] > 0.0)
         | flux_in
     )
+    # The same branch also swallows the implicit solver and the tendency
+    # sections (4.6, 5.2.x, 5.3, 6): on a level where pre_m is False AND
+    # every explicit source accumulated so far is exactly zero, the 5x5
+    # solve is the bitwise identity — the condensate right-hand sides are
+    # zero (every outside-region first-guess update is a non-negative add,
+    # so zqxfg == 0 forces zqx == 0 and all explicit terms zero), vapour
+    # keeps a unit diagonal (nothing writes solqb on the vapour row or
+    # column), and the subsidence solqb diagonals only divide a zero RHS.
+    # Then 5.2.3's clip adds exact zeros, 5.3 emits zero fluxes, and the
+    # section-6 increments vanish term by term. The only sections that can
+    # write a nonzero solqa entry WITHOUT raising the first guess are the
+    # detrainment/subsidence sources (3.2/3.3), so the region guard ORs an
+    # any-nonzero test over the solqa entries live at this point (measured:
+    # on the snapshot this does not raise the fire rate —
+    # bench/activity_probe.py, tags precip vs solver).
+    region_m = pre_m
+    for _mm in range(NCLV):
+        for _nn in range(NCLV):
+            if solqa[_mm][_nn] is not None:
+                region_m = region_m | (solqa[_mm][_nn] != 0.0)
     _blk_a = [
         (IS, IL), (IR, IL), (IL, IS), (IL, IR),   # 4.3b warm rain (KK2000)
         (IR, II), (II, IR), (IR, IS), (IS, IR),   # 4.4a melt + 4.4b freeze
@@ -663,23 +683,29 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         (IV, IR), (IR, IV), (IV, IS), (IS, IV),   # 4.5 evap/sublimation
     ]
     _blk_b = [(IS, II), (IS, IL), (IR, IL)]       # 4.3a / 4.3b(v1) / 4.3c
-    _na, _nb = len(_blk_a), len(_blk_b)
     _sqa0, _sqb0, _qf0 = solqa, solqb, zqxfg
     _zicecld30 = zicecld  # in-cloud ice as of section 3.0, read by 3.7
 
     def _precip_active(ops):
-        # shadow the threaded structures with local copies seeded from the
-        # branch operands; the section code below is textually identical to
-        # the unbranched formulation
+        # shadow the threaded structures with branch-local copies; the
+        # section code below is textually identical to the unbranched
+        # formulation. solqa/solqb/zqxfg are DEAD after the branch (the
+        # solver and tendency sections consume them in here), so they are
+        # seeded through the closure; the entries this region writes are
+        # materialized to zero arrays exactly like the old operand seeds,
+        # keeping the solver's structural-sparsity pattern unchanged.
         solqa = [row[:] for row in _sqa0]
         solqb = [row[:] for row in _sqb0]
         zqxfg = list(_qf0)
-        for (m, n), v in zip(_blk_a, ops[:_na]):
-            solqa[m][n] = v
-        for (m, n), v in zip(_blk_b, ops[_na:_na + _nb]):
-            solqb[m][n] = v
-        (zqxfg[II], zqxfg[IS], zqxfg[IR], zqxfg[IL],
-         zcovptot) = ops[_na + _nb:_na + _nb + 5]
+        for m, n in _blk_a:
+            if solqa[m][n] is None:
+                solqa[m][n] = zero
+        for m, n in _blk_b:
+            if solqb[m][n] is None:
+                solqb[m][n] = zero
+        # zcovptot is modified-and-returned: read it from ops, never the
+        # closure (inert_skip contract)
+        zcovptot = ops[2 * NCLV + 2]
 
         dep_m = (ztp1 < RTT) & (zqxfg[IL] > e.rlmin)
         zvpice = x["zfoeeice"] * RV / RD
@@ -1179,35 +1205,255 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         else:
             raise NotImplementedError(f"IEVAPSNOW={c.IEVAPSNOW} unknown")
 
-        return (
-            *(solqa[m][n] for m, n in _blk_a),
-            *(solqb[m][n] for m, n in _blk_b),
-            zqxfg[II], zqxfg[IS], zqxfg[IR], zqxfg[IL], zcovptot,
-            zcovpmax,
-        )
+        # 4.6 evaporate small precipitation amounts (ref: 2426-2435)
+        if "s46" not in c.skip:
+            for m in (IR, IS):
+                small = zqxfg[m] < e.rlmin
+                solqa[IV][m] = sadd(solqa[IV][m], madd(small, zqxfg[m]))
+                solqa[m][IV] = sadd(solqa[m][IV], -madd(small, zqxfg[m]))
 
-    _ops = (
-        *(zero if solqa[m][n] is None else solqa[m][n] for m, n in _blk_a),
-        *(zero if solqb[m][n] is None else solqb[m][n] for m, n in _blk_b),
-        zqxfg[II], zqxfg[IS], zqxfg[IR], zqxfg[IL], carry["zcovptot"],
-        # write-only output: the zero seed IS its exact inert value
-        zero,
-    )
-    _out = inert_skip(pre_m, _precip_active, _ops, force=force_on,
-                      tag="precip")
-    for (m, n), v in zip(_blk_a, _out[:_na]):
-        solqa[m][n] = v
-    for (m, n), v in zip(_blk_b, _out[_na:_na + _nb]):
-        solqb[m][n] = v
-    (zqxfg[II], zqxfg[IS], zqxfg[IR], zqxfg[IL], zcovptot,
-     zcovpmax) = _out[_na + _nb:]
+        # ==============================================================
+        # 5.2.1 conservation scaling of explicit sinks (ref: 2467-2580)
+        # ==============================================================
+        # The Fortran sorts the 5 species by run-out ratio (ascending strict-<
+        # scan; first minimum wins, ref: 2502-2527) then, in that order, rescales
+        # the negative entries of the selected row and column, recomputing the
+        # scale factor from the updated matrix each round (ref: 2533-2580).
+        #
+        # The ordering here is computed as lexicographic (ratio, species-index)
+        # ranks from pairwise comparisons — identical to the sequential scan
+        # including its tie rule. The rescale rounds are unavoidable (each round's
+        # factor depends on the previous round's updates) but run on the sparse
+        # matrix with one-hot row/column gathers.
+        zsinksum = [
+            schain([sneg(solqa[m][n]) for n in range(NCLV)]) for m in range(NCLV)
+        ]
+        zmax = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
+        # Dynamic fast path: when NO species overshoots anywhere in this batch
+        # (kernel: this column tile; scan: the whole batch), every scale factor
+        # is exactly 1.0 — zratio = zmax/max(sink, zmax) = zmax/zmax = 1, every
+        # round recomputes the same plain sums and divides zmax by zmax again,
+        # and the final application multiplies each entry by 1.0. The rescale is
+        # the bitwise identity, so the 5 sequential rounds (~26% of kernel VPU
+        # time, bench/lab3.json) are skipped entirely. Levels with no active
+        # sink anywhere are common (60% of the snapshot's levels measured in
+        # fp64), and the reference's own rescale self-disables the same way via
+        # its ratio formula (ref: 2492-2498).
+        def _no_overshoot():
+            acc = None
+            for m in range(NCLV):
+                lvl_ok = jnp.all(zsinksum[m] <= zmax[m])
+                acc = lvl_ok if acc is None else (acc & lvl_ok)
+            return acc
 
-    # 4.6 evaporate small precipitation amounts (ref: 2426-2435)
-    if "s46" not in c.skip:
-        for m in (IR, IS):
-            small = zqxfg[m] < e.rlmin
-            solqa[IV][m] = sadd(solqa[IV][m], madd(small, zqxfg[m]))
-            solqa[m][IV] = sadd(solqa[m][IV], -madd(small, zqxfg[m]))
+        sq_idx = [
+            (m, n)
+            for m in range(NCLV)
+            for n in range(NCLV)
+            if solqa[m][n] is not None
+        ]
+
+        def _rescale_sinks(vals):
+            sq = [[None] * NCLV for _ in range(NCLV)]
+            for (m, n), v in zip(sq_idx, vals):
+                sq[m][n] = v
+            zratio = [
+                zmax[m] / jnp.maximum(zsinksum[m], zmax[m]) for m in range(NCLV)
+            ]
+            iz = jnp.zeros_like(ztp1, dtype=jnp.int32)
+            rank = []
+            for m in range(NCLV):
+                r = iz
+                for n in range(NCLV):
+                    if n == m:
+                        continue
+                    if n < m:
+                        r = r + (zratio[n] <= zratio[m]).astype(jnp.int32)
+                    else:
+                        r = r + (zratio[n] < zratio[m]).astype(jnp.int32)
+                rank.append(r)
+            # Lazy-scaling rounds. The sequential algorithm only ever applies TWO
+            # factors to an entry: ratio(row species, at its round) when the
+            # entry is negative, and ratio(column species, at its round) when the
+            # MIRRORED entry is negative (ref: 2566-2576). Since every species is
+            # selected exactly once, the round-r sink for species m needs the
+            # original row m with at most ONE prior factor applied — the column
+            # update from species n with rank[n] < rank[m] and a negative
+            # mirrored entry. With ratio_fin initialised to 1 and finalised
+            # rank-by-rank, a dense per-species sink recompute each round
+            # reproduces the sequential values exactly (same per-term products,
+            # same left-to-right summation); the factors are then applied per
+            # entry once at the end. Signs never change under the positive
+            # scalings, so all masks come from the original matrix.
+            neg0 = [
+                [None if sq[m][n] is None else sq[m][n] < 0.0
+                 for n in range(NCLV)]
+                for m in range(NCLV)
+            ]
+            # prec[m][n]: entry (m, n) receives species-n's column factor BEFORE
+            # species-m's own round
+            prec = [
+                [
+                    None if (n == m or neg0[n][m] is None)  # rank[m]<rank[m] never
+                    else (neg0[n][m] & (rank[n] < rank[m]))
+                    for n in range(NCLV)
+                ]
+                for m in range(NCLV)
+            ]
+            one = jnp.ones_like(ztp1)
+            # Round 0 reuses the ordering ratio: with every ratio_fin still 1 the
+            # round-0 sink recompute is term-for-term (and summation-order)
+            # identical to zsinksum, so the first-selected species' factor IS
+            # zratio — bitwise. (ref: 2543-2560 recompute the same plain sum the
+            # ordering used at 2481-2498.) Rounds 1..NCLV-1 remain data-dependent.
+            ratio_fin = [
+                jnp.where(rank[m] == 0, zratio[m], one) for m in range(NCLV)
+            ]
+            zmaxe = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
+            for round_i in range(1, NCLV):
+                # exactly ONE species has rank == round_i per column, so the
+                # round's division is done once on the one-hot-selected
+                # (numerator, denominator) pair — bitwise identical to dividing
+                # per species (summing four exact zeros and one value changes no
+                # bits), and 4 fewer VPU divides per round
+                sel = [rank[m] == round_i for m in range(NCLV)]
+                num = None
+                den = None
+                for m in range(NCLV):
+                    sink = None
+                    for n in range(NCLV):
+                        if sq[m][n] is None:
+                            continue
+                        v = sq[m][n]
+                        if prec[m][n] is not None:
+                            v = v * jnp.where(prec[m][n], ratio_fin[n], 1.0)
+                        sink = sadd(sink, -v)
+                    num = sadd(num, madd(sel[m], zmaxe[m]))
+                    den = sadd(den, madd(sel[m], jnp.maximum(sink, zmaxe[m])))
+                ratio_sel = num / den
+                for m in range(NCLV):
+                    ratio_fin[m] = jnp.where(sel[m], ratio_sel, ratio_fin[m])
+            out = []
+            for m, n in sq_idx:
+                v = sq[m][n]
+                if neg0[m][n] is not None:
+                    v = v * jnp.where(neg0[m][n], ratio_fin[m], 1.0)
+                if neg0[n][m] is not None:
+                    v = v * jnp.where(neg0[n][m], ratio_fin[n], 1.0)
+                out.append(v)
+            return tuple(out)
+
+        if "s521" not in c.skip:
+            vals0 = tuple(solqa[m][n] for m, n in sq_idx)
+            if probe_hook is not None:
+                _over = None
+                for m in range(NCLV):
+                    o = zsinksum[m] > zmax[m]
+                    _over = o if _over is None else (_over | o)
+                probe_hook("s521", _over)
+            pred_skip = _no_overshoot()
+            if force_on is not None:
+                pred_skip = pred_skip & jnp.logical_not(force_on)
+            scaled = jax.lax.cond(
+                pred_skip, lambda vals: vals, _rescale_sinks, vals0
+            )
+            for (m, n), v in zip(sq_idx, scaled):
+                solqa[m][n] = v
+
+        if probe_hook is not None:
+            # candidate guard for an implicit-solver (5.2.2+) fast path: the
+            # solve is the identity iff no explicit source, no implicit term,
+            # and no falling species mass (the fall sinks are always nonzero)
+            m_solver = None
+            for mm in range(NCLV):
+                for nn in range(NCLV):
+                    if solqa[mm][nn] is not None:
+                        m_solver = (solqa[mm][nn] != 0.0) if m_solver is None \
+                            else (m_solver | (solqa[mm][nn] != 0.0))
+                    if solqb[mm][nn] is not None:
+                        m_solver = m_solver | (solqb[mm][nn] != 0.0)
+            for mm in (II, IR, IS):
+                m_solver = m_solver | (zqx[mm] != 0.0)
+            probe_hook("solver", m_solver)
+
+        # ==============================================================
+        # 5.2.2 implicit 5x5 solve (LHS build + non-pivoting LU,
+        #       ref: 2589-2668) — unrolled with structural zeros skipped
+        # ==============================================================
+        one = jnp.ones_like(ztp1)
+        qlhs = [[None] * NCLV for _ in range(NCLV)]
+        for mcol in range(NCLV):
+            diag = sadd(one, zfallsink[mcol])
+            for o in range(NCLV):
+                diag = sadd(diag, solqb[o][mcol])
+            qlhs[mcol][mcol] = diag
+        for nrow in range(NCLV):
+            for mcol in range(NCLV):
+                if nrow != mcol:
+                    qlhs[nrow][mcol] = sneg(solqb[nrow][mcol])
+        zqxn = [
+            zqx[m]
+            + chain([solqa[m][n] for n in range(NCLV) if solqa[m][n] is not None])
+            for m in range(NCLV)
+        ]
+        # non-pivoting recursive factorization (ref: 2640-2650); eliminating a
+        # structural zero is a no-op, so the sparse skip is value-exact
+        if "s522" not in c.skip:
+            for jn in range(NCLV - 1):
+                for jm in range(jn + 1, NCLV):
+                    if qlhs[jm][jn] is None:
+                        continue
+                    qlhs[jm][jn] = qlhs[jm][jn] / qlhs[jn][jn]
+                    for ik in range(jn + 1, NCLV):
+                        if qlhs[jn][ik] is None:
+                            continue
+                        qlhs[jm][ik] = sadd(
+                            qlhs[jm][ik], -(qlhs[jm][jn] * qlhs[jn][ik])
+                        )
+            # backsubstitution (ref: 2654-2668)
+            for jn in range(1, NCLV):
+                for jm in range(jn):
+                    if qlhs[jn][jm] is not None:
+                        zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
+            zqxn[NCLV - 1] = zqxn[NCLV - 1] / qlhs[NCLV - 1][NCLV - 1]
+            for jn in range(NCLV - 2, -1, -1):
+                for jm in range(jn + 1, NCLV):
+                    if qlhs[jn][jm] is not None:
+                        zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
+                zqxn[jn] = zqxn[jn] / qlhs[jn][jn]
+
+        # clip small/negative values to vapour (ref: 2673-2680)
+        for n in (IL, II, IR, IS):
+            neg_n = zqxn[n] < ZEPSEC
+            zqxn[IV] = zqxn[IV] + madd(neg_n, zqxn[n])
+            zqxn[n] = jnp.where(neg_n, 0.0, zqxn[n])
+
+        # ==============================================================
+        # 5.3 precipitation flux to the next level (ref: 2698-2712)
+        # ==============================================================
+        pfplsx_next = [
+            zero if zfallsink[m] is None else zfallsink[m] * zqxn[m] * zrdtgdp
+            for m in range(NCLV)
+        ]
+        zqpre2 = pfplsx_next[IS] + pfplsx_next[IR]
+        zcovptot = jnp.where(zqpre2 < ZEPSEC, 0.0, zcovptot)
+
+        # ==============================================================
+        # 6. tendencies (ref: 2722-2773)
+        # ==============================================================
+        tend_t = x["tend_t_pre"]
+        for m in (IL, II, IR, IS):
+            sinks = sadd(zfallsink[m], zconvsink[m])
+            zfluxq = sadd(
+                sadd(sadd(zpsupsatsrce[m], zconvsrce[m]), zfallsrce[m]),
+                None if sinks is None else -(sinks * zqxn[m]),
+            )
+            lat = RALVDCP if IPHASE[m] == 1 else RALSDCP
+            tend_t = tend_t + lat * (zqxn[m] - zqx[m] - zfluxq) * zqtmst
+        tend_q = x["tend_q_pre"] + (zqxn[IV] - zqx[IV]) * zqtmst
+
+        return (*zqxn, *pfplsx_next, tend_t, tend_q, zcovptot,
+                zcovpmax)
 
     # ==============================================================
     # 5.1 cloud-fraction solver (ref: 2446-2455)
@@ -1217,245 +1463,27 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     zda = zanew - x["zaorig"]
     zanewm1_new = zanew
 
-    # ==============================================================
-    # 5.2.1 conservation scaling of explicit sinks (ref: 2467-2580)
-    # ==============================================================
-    # The Fortran sorts the 5 species by run-out ratio (ascending strict-<
-    # scan; first minimum wins, ref: 2502-2527) then, in that order, rescales
-    # the negative entries of the selected row and column, recomputing the
-    # scale factor from the updated matrix each round (ref: 2533-2580).
-    #
-    # The ordering here is computed as lexicographic (ratio, species-index)
-    # ranks from pairwise comparisons — identical to the sequential scan
-    # including its tie rule. The rescale rounds are unavoidable (each round's
-    # factor depends on the previous round's updates) but run on the sparse
-    # matrix with one-hot row/column gathers.
-    zsinksum = [
-        schain([sneg(solqa[m][n]) for n in range(NCLV)]) for m in range(NCLV)
-    ]
-    zmax = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
-    # Dynamic fast path: when NO species overshoots anywhere in this batch
-    # (kernel: this column tile; scan: the whole batch), every scale factor
-    # is exactly 1.0 — zratio = zmax/max(sink, zmax) = zmax/zmax = 1, every
-    # round recomputes the same plain sums and divides zmax by zmax again,
-    # and the final application multiplies each entry by 1.0. The rescale is
-    # the bitwise identity, so the 5 sequential rounds (~26% of kernel VPU
-    # time, bench/lab3.json) are skipped entirely. Levels with no active
-    # sink anywhere are common (60% of the snapshot's levels measured in
-    # fp64), and the reference's own rescale self-disables the same way via
-    # its ratio formula (ref: 2492-2498).
-    def _no_overshoot():
-        acc = None
-        for m in range(NCLV):
-            lvl_ok = jnp.all(zsinksum[m] <= zmax[m])
-            acc = lvl_ok if acc is None else (acc & lvl_ok)
-        return acc
-
-    sq_idx = [
-        (m, n)
-        for m in range(NCLV)
-        for n in range(NCLV)
-        if solqa[m][n] is not None
-    ]
-
-    def _rescale_sinks(vals):
-        sq = [[None] * NCLV for _ in range(NCLV)]
-        for (m, n), v in zip(sq_idx, vals):
-            sq[m][n] = v
-        zratio = [
-            zmax[m] / jnp.maximum(zsinksum[m], zmax[m]) for m in range(NCLV)
-        ]
-        iz = jnp.zeros_like(ztp1, dtype=jnp.int32)
-        rank = []
-        for m in range(NCLV):
-            r = iz
-            for n in range(NCLV):
-                if n == m:
-                    continue
-                if n < m:
-                    r = r + (zratio[n] <= zratio[m]).astype(jnp.int32)
-                else:
-                    r = r + (zratio[n] < zratio[m]).astype(jnp.int32)
-            rank.append(r)
-        # Lazy-scaling rounds. The sequential algorithm only ever applies TWO
-        # factors to an entry: ratio(row species, at its round) when the
-        # entry is negative, and ratio(column species, at its round) when the
-        # MIRRORED entry is negative (ref: 2566-2576). Since every species is
-        # selected exactly once, the round-r sink for species m needs the
-        # original row m with at most ONE prior factor applied — the column
-        # update from species n with rank[n] < rank[m] and a negative
-        # mirrored entry. With ratio_fin initialised to 1 and finalised
-        # rank-by-rank, a dense per-species sink recompute each round
-        # reproduces the sequential values exactly (same per-term products,
-        # same left-to-right summation); the factors are then applied per
-        # entry once at the end. Signs never change under the positive
-        # scalings, so all masks come from the original matrix.
-        neg0 = [
-            [None if sq[m][n] is None else sq[m][n] < 0.0
-             for n in range(NCLV)]
-            for m in range(NCLV)
-        ]
-        # prec[m][n]: entry (m, n) receives species-n's column factor BEFORE
-        # species-m's own round
-        prec = [
-            [
-                None if (n == m or neg0[n][m] is None)  # rank[m]<rank[m] never
-                else (neg0[n][m] & (rank[n] < rank[m]))
-                for n in range(NCLV)
-            ]
-            for m in range(NCLV)
-        ]
-        one = jnp.ones_like(ztp1)
-        # Round 0 reuses the ordering ratio: with every ratio_fin still 1 the
-        # round-0 sink recompute is term-for-term (and summation-order)
-        # identical to zsinksum, so the first-selected species' factor IS
-        # zratio — bitwise. (ref: 2543-2560 recompute the same plain sum the
-        # ordering used at 2481-2498.) Rounds 1..NCLV-1 remain data-dependent.
-        ratio_fin = [
-            jnp.where(rank[m] == 0, zratio[m], one) for m in range(NCLV)
-        ]
-        zmaxe = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
-        for round_i in range(1, NCLV):
-            # exactly ONE species has rank == round_i per column, so the
-            # round's division is done once on the one-hot-selected
-            # (numerator, denominator) pair — bitwise identical to dividing
-            # per species (summing four exact zeros and one value changes no
-            # bits), and 4 fewer VPU divides per round
-            sel = [rank[m] == round_i for m in range(NCLV)]
-            num = None
-            den = None
-            for m in range(NCLV):
-                sink = None
-                for n in range(NCLV):
-                    if sq[m][n] is None:
-                        continue
-                    v = sq[m][n]
-                    if prec[m][n] is not None:
-                        v = v * jnp.where(prec[m][n], ratio_fin[n], 1.0)
-                    sink = sadd(sink, -v)
-                num = sadd(num, madd(sel[m], zmaxe[m]))
-                den = sadd(den, madd(sel[m], jnp.maximum(sink, zmaxe[m])))
-            ratio_sel = num / den
-            for m in range(NCLV):
-                ratio_fin[m] = jnp.where(sel[m], ratio_sel, ratio_fin[m])
-        out = []
-        for m, n in sq_idx:
-            v = sq[m][n]
-            if neg0[m][n] is not None:
-                v = v * jnp.where(neg0[m][n], ratio_fin[m], 1.0)
-            if neg0[n][m] is not None:
-                v = v * jnp.where(neg0[n][m], ratio_fin[n], 1.0)
-            out.append(v)
-        return tuple(out)
-
-    if "s521" not in c.skip:
-        vals0 = tuple(solqa[m][n] for m, n in sq_idx)
-        if probe_hook is not None:
-            _over = None
-            for m in range(NCLV):
-                o = zsinksum[m] > zmax[m]
-                _over = o if _over is None else (_over | o)
-            probe_hook("s521", _over)
-        pred_skip = _no_overshoot()
-        if force_on is not None:
-            pred_skip = pred_skip & jnp.logical_not(force_on)
-        scaled = jax.lax.cond(
-            pred_skip, lambda vals: vals, _rescale_sinks, vals0
-        )
-        for (m, n), v in zip(sq_idx, scaled):
-            solqa[m][n] = v
-
-    if probe_hook is not None:
-        # candidate guard for an implicit-solver (5.2.2+) fast path: the
-        # solve is the identity iff no explicit source, no implicit term,
-        # and no falling species mass (the fall sinks are always nonzero)
-        m_solver = None
-        for mm in range(NCLV):
-            for nn in range(NCLV):
-                if solqa[mm][nn] is not None:
-                    m_solver = (solqa[mm][nn] != 0.0) if m_solver is None \
-                        else (m_solver | (solqa[mm][nn] != 0.0))
-                if solqb[mm][nn] is not None:
-                    m_solver = m_solver | (solqb[mm][nn] != 0.0)
-        for mm in (II, IR, IS):
-            m_solver = m_solver | (zqx[mm] != 0.0)
-        probe_hook("solver", m_solver)
-
-    # ==============================================================
-    # 5.2.2 implicit 5x5 solve (LHS build + non-pivoting LU,
-    #       ref: 2589-2668) — unrolled with structural zeros skipped
-    # ==============================================================
-    one = jnp.ones_like(ztp1)
-    qlhs = [[None] * NCLV for _ in range(NCLV)]
-    for mcol in range(NCLV):
-        diag = sadd(one, zfallsink[mcol])
-        for o in range(NCLV):
-            diag = sadd(diag, solqb[o][mcol])
-        qlhs[mcol][mcol] = diag
-    for nrow in range(NCLV):
-        for mcol in range(NCLV):
-            if nrow != mcol:
-                qlhs[nrow][mcol] = sneg(solqb[nrow][mcol])
-    zqxn = [
-        zqx[m]
-        + chain([solqa[m][n] for n in range(NCLV) if solqa[m][n] is not None])
-        for m in range(NCLV)
-    ]
-    # non-pivoting recursive factorization (ref: 2640-2650); eliminating a
-    # structural zero is a no-op, so the sparse skip is value-exact
-    if "s522" not in c.skip:
-        for jn in range(NCLV - 1):
-            for jm in range(jn + 1, NCLV):
-                if qlhs[jm][jn] is None:
-                    continue
-                qlhs[jm][jn] = qlhs[jm][jn] / qlhs[jn][jn]
-                for ik in range(jn + 1, NCLV):
-                    if qlhs[jn][ik] is None:
-                        continue
-                    qlhs[jm][ik] = sadd(
-                        qlhs[jm][ik], -(qlhs[jm][jn] * qlhs[jn][ik])
-                    )
-        # backsubstitution (ref: 2654-2668)
-        for jn in range(1, NCLV):
-            for jm in range(jn):
-                if qlhs[jn][jm] is not None:
-                    zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
-        zqxn[NCLV - 1] = zqxn[NCLV - 1] / qlhs[NCLV - 1][NCLV - 1]
-        for jn in range(NCLV - 2, -1, -1):
-            for jm in range(jn + 1, NCLV):
-                if qlhs[jn][jm] is not None:
-                    zqxn[jn] = zqxn[jn] - qlhs[jn][jm] * zqxn[jm]
-            zqxn[jn] = zqxn[jn] / qlhs[jn][jn]
-
-    # clip small/negative values to vapour (ref: 2673-2680)
-    for n in (IL, II, IR, IS):
-        neg_n = zqxn[n] < ZEPSEC
-        zqxn[IV] = zqxn[IV] + madd(neg_n, zqxn[n])
-        zqxn[n] = jnp.where(neg_n, 0.0, zqxn[n])
-
-    # ==============================================================
-    # 5.3 precipitation flux to the next level (ref: 2698-2712)
-    # ==============================================================
-    pfplsx_next = [
-        zero if zfallsink[m] is None else zfallsink[m] * zqxn[m] * zrdtgdp
-        for m in range(NCLV)
-    ]
-    zqpre2 = pfplsx_next[IS] + pfplsx_next[IR]
-    zcovptot = jnp.where(zqpre2 < ZEPSEC, 0.0, zcovptot)
-
-    # ==============================================================
-    # 6. tendencies (ref: 2722-2773)
-    # ==============================================================
-    tend_t = x["tend_t_pre"]
-    for m in (IL, II, IR, IS):
-        sinks = sadd(zfallsink[m], zconvsink[m])
-        zfluxq = sadd(
-            sadd(sadd(zpsupsatsrce[m], zconvsrce[m]), zfallsrce[m]),
-            None if sinks is None else -(sinks * zqxn[m]),
-        )
-        lat = RALVDCP if IPHASE[m] == 1 else RALSDCP
-        tend_t = tend_t + lat * (zqxn[m] - zqx[m] - zfluxq) * zqtmst
-    tend_q = x["tend_q_pre"] + (zqxn[IV] - zqx[IV]) * zqtmst
+    _ops = (
+        # inert seeds: the solve is the identity on skipped levels (new
+        # state = old state), the precip fluxes out are zero, and the
+        # section-6 increments vanish term by term (see the region_m
+        # note above; proven value-exact by tests/test_invariance.py)
+        *zqx,
+        *(zero,) * NCLV,
+        x["tend_t_pre"],
+        x["tend_q_pre"],
+        # exactly 0 whenever the guard is False (5.3 zeroes it unless
+        # the level above emitted a flux, and any incoming flux sets
+        # pre_m)
+        carry["zcovptot"],
+        # write-only output: the zero seed IS its exact inert value
+        zero,
+    )
+    _out = inert_skip(region_m, _precip_active, _ops, force=force_on,
+                      tag="precip")
+    zqxn = list(_out[:NCLV])
+    pfplsx_next = list(_out[NCLV:2 * NCLV])
+    tend_t, tend_q, zcovptot, zcovpmax = _out[2 * NCLV:]
     tend_a = zda * zqtmst
 
     new_carry = dict(
