@@ -4,6 +4,15 @@
 # Order matters — the decisive grouped-vs-cyclic comparison runs first so a
 # flaky tunnel still yields the key number. Every step is under timeout
 # (never pkill; see CLAUDE.md).
+#
+# TWO changes land together since the last measured 11.0 ms (lab10 body +
+# rain sub-branch): (a) the activity-grouped layout default and (b) the
+# solver/tendency fold into the precip branch (commit e679abb). Decompose:
+#   step [2b] (cyclic) vs lab10's 11.22 ms  -> fold-only delta
+#   step [1]  (grouped) vs step [2b]        -> layout delta
+# Pre-registered predictions: fold -0.5..-0.9 ms (LU 0.47 + 4.6/5.3/6 on
+# ~2/3 inert tiles), grouped -1.3..-1.5 ms; combined ~8.8-9.4 ms/step
+# (~17.5-18.5 M cols/s).
 set -u
 cd "$(dirname "$0")/.."
 LOG=bench/lab11_grouped.log
