@@ -111,8 +111,11 @@ def inert_skip(mask, active_fn, ops, force=None, tag=None):
     material (~0.3 ms/step each at benchmark size), so this is only worth it
     for LARGE bodies — one cond around a whole region, not one per section
     (measured: 8 per-section conds were a net 2.7 ms/step LOSS —
-    docs/PERFORMANCE.md). `active_fn` must read every array it modifies from
-    `ops` (not close over it) and return the updated tuple. `force`
+    docs/PERFORMANCE.md). Contract: every value `active_fn` RETURNS needs a
+    matching `ops` seed equal to its exact inert value (the skip path just
+    returns `ops`), in the same tuple position; values that are only
+    CONSUMED by the branch may be closed over freely — closure capture and
+    operand passing see the identical traced arrays. `force`
     (a traced always-True scalar) pins the predicate on THROUGH the same
     lax.cond, so branch codegen is unchanged — the oracle configuration the
     inertness tests diff against (inlining the branch instead would change
@@ -676,6 +679,13 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         for _nn in range(NCLV):
             if solqa[_mm][_nn] is not None:
                 region_m = region_m | (solqa[_mm][_nn] != 0.0)
+    if probe_hook is not None:
+        # true activity of the folded 5.2.2+ solve: in-branch writes all
+        # require region_m; outside the branch the only solver-relevant
+        # state is the subsidence solqb diagonals (zmfdn) — falling species
+        # mass zqx[m] != 0 implies zqxfg[m] > 0 and hence pre_m. Recorded
+        # OUTSIDE the branch so the rate is unbiased on skipped levels.
+        probe_hook("solver", region_m | (zmfdn > 0.0))
     _blk_a = [
         (IS, IL), (IR, IL), (IL, IS), (IL, IR),   # 4.3b warm rain (KK2000)
         (IR, II), (II, IR), (IR, IS), (IS, IR),   # 4.4a melt + 4.4b freeze
@@ -703,9 +713,10 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         for m, n in _blk_b:
             if solqb[m][n] is None:
                 solqb[m][n] = zero
-        # zcovptot is modified-and-returned: read it from ops, never the
-        # closure (inert_skip contract)
-        zcovptot = ops[2 * NCLV + 2]
+        # zcovptot's initial value: the closure array IS the ops seed
+        # (carry["zcovptot"] is passed as the seed below), so read it by
+        # name rather than by a positional index into ops
+        zcovptot = carry["zcovptot"]
 
         dep_m = (ztp1 < RTT) & (zqxfg[IL] > e.rlmin)
         zvpice = x["zfoeeice"] * RV / RD
@@ -780,8 +791,8 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             zqpretot = zqpretot + madd(not_first, zqxfg[m])
 
         # 4.3p precip cover overlap, MAX-RAN (ref: 1767-1784); zcovptot here
-        # is the ops-seeded carry value (inert_skip contract: read every
-        # modified array from ops, never through the closure)
+        # is the incoming carry value (the same array seeds the matching
+        # ops slot, so the skip path returns it unchanged)
         has_pre = zqpretot > ZEPSEC
         zcovptot_new = 1.0 - (
             (1.0 - zcovptot)
@@ -1359,22 +1370,6 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             )
             for (m, n), v in zip(sq_idx, scaled):
                 solqa[m][n] = v
-
-        if probe_hook is not None:
-            # candidate guard for an implicit-solver (5.2.2+) fast path: the
-            # solve is the identity iff no explicit source, no implicit term,
-            # and no falling species mass (the fall sinks are always nonzero)
-            m_solver = None
-            for mm in range(NCLV):
-                for nn in range(NCLV):
-                    if solqa[mm][nn] is not None:
-                        m_solver = (solqa[mm][nn] != 0.0) if m_solver is None \
-                            else (m_solver | (solqa[mm][nn] != 0.0))
-                    if solqb[mm][nn] is not None:
-                        m_solver = m_solver | (solqb[mm][nn] != 0.0)
-            for mm in (II, IR, IS):
-                m_solver = m_solver | (zqx[mm] != 0.0)
-            probe_hook("solver", m_solver)
 
         # ==============================================================
         # 5.2.2 implicit 5x5 solve (LHS build + non-pivoting LU,
