@@ -36,6 +36,10 @@ echo "--- [4] kernel_lab section attribution under the sorted layout ---"
 timeout 580 python bench/kernel_lab.py --order sorted --lps 6 \
     --skip "" s521 s34c s37 s522 s31 s33
 
+echo "--- [4a2] init/floor/resident bodies (section-1 share never measured) ---"
+timeout 580 python bench/kernel_lab.py --order sorted --lps 6 \
+    --modes init floor resident full
+
 echo "--- [4b] SB sweep under the sorted layout (probe: SB=8 cuts s521 rate 27->22%) ---"
 # never-compiled kernel shapes: budget ~3 min Mosaic compile EACH, one
 # invocation per config so a timeout loses only that config
