@@ -66,3 +66,30 @@ def test_adjoint_consistent_with_tangent(grad_setup):
     vg = jnp.vdot(g, v)
     rel = abs(float(vg - jv)) / max(abs(float(jv)), 1e-30)
     assert rel < 1e-12, f"<grad, v> != jvp (rel {rel})"
+
+
+@pytest.mark.parametrize("name", ["rcldiff", "rkooptau"])
+def test_parameter_gradient_matches_fd(input_100, params, name):
+    """Physics-parameter Jacobians (the calibration use case,
+    examples/param_calibration.py): TECLDP scalars enter the scheme
+    arithmetically, so replacing the Python float with a traced value
+    yields d(output)/d(theta) through the full scan."""
+    import copy
+
+    fields = make_inputs(input_100, dtype=jnp.float64)
+    theta0 = getattr(params.ydecldp, name)
+
+    def loss(theta):
+        p = copy.copy(params)
+        p.ydecldp = copy.copy(params.ydecldp)
+        setattr(p.ydecldp, name, theta)
+        out = cloudsc(fields, p, input_100.ptsphy)
+        return jnp.sum(out.tendency_loc_t ** 2) * 1e6
+
+    g = float(jax.grad(loss)(jnp.float64(theta0)))
+    eps = theta0 * 1e-6
+    fd = float((loss(jnp.float64(theta0 + eps))
+                - loss(jnp.float64(theta0 - eps))) / (2 * eps))
+    assert np.isfinite(g) and g != 0.0, f"degenerate d/d{name}: {g}"
+    rel = abs(g - fd) / max(abs(fd), 1e-30)
+    assert rel < 1e-5, f"d/d{name} grad {g} vs fd {fd} (rel {rel})"
