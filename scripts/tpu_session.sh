@@ -48,7 +48,10 @@ for sb in 8 16 32; do
 done
 
 echo "--- [4c] lps sweep under the sorted layout (branchier body may shift the optimum) ---"
-for lps in 4 8 12; do
+# lps resolves to the largest divisor of nlev+1=138 (1,2,3,6,23,...) not
+# exceeding the request - sweep actual divisors, not 4/8/12 (those resolve
+# to 3/6/6: one duplicate, one wasted config)
+for lps in 2 3 23; do
     timeout 580 python bench/kernel_lab.py --order sorted --lps "$lps"
 done
 

@@ -68,3 +68,18 @@ def test_pallas_sublane_invariance(oracle_pair):
             np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
             err_msg=name,
         )
+
+
+@pytest.mark.parametrize("sb,lps", [(4, 2), (4, 3), (2, 6), (4, 23)])
+def test_packed_sweep_configs_smoke(oracle_pair, sb, lps, monkeypatch):
+    """Every level-blocking shape the TPU measurement session sweeps
+    (scripts/tpu_session.sh; lps must divide nlev+1=138) must run in
+    interpret mode, so a Python-level bug in an untried (SB, lps) config
+    cannot waste a scarce TPU window. CLOUDSC_PALLAS_LPS is pinned BEFORE
+    packing — the pack's pad-row decision must agree with the kernel's
+    level blocking (see bench/kernel_lab.py)."""
+    inp, params, fields, ref = oracle_pair
+    monkeypatch.setenv("CLOUDSC_PALLAS_LPS", str(lps))
+    out = cloudsc_pallas(fields, params, inp.ptsphy, sublanes=sb,
+                         packed=True, interpret=True)
+    _compare(ref, out, rtol=1e-5)
