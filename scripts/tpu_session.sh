@@ -20,6 +20,9 @@ exec > >(tee -a "$LOG") 2>&1
 
 echo "=== TPU session $(date -u +%FT%TZ) ==="
 
+echo "--- [0] small-shape Mosaic smoke (fast lowering check of the new body) ---"
+timeout 400 python -m cloudsc_tpu 1 16384 128 --kernel pallas 2>&1 | tail -8
+
 echo "--- [1] bench.py, grouped layout (default) ---"
 timeout 560 python bench.py
 
