@@ -16,12 +16,77 @@ variants report kernel-only vs loop+transfer, ref: README.md:311-318).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_COLS_PER_S = 340.0e9 / 124823.29  # A100 scc-hoist, ~2.724e6 col/s
+
+LAST_MEASURED_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench", "last_measured.json"
+)
+
+
+def _probe_backend_once(timeout_s: float) -> bool:
+    """Try to initialize the default jax backend in a SUBPROCESS.
+
+    The tunneled platform can hang indefinitely inside backend init (even
+    `jax.devices()` blocks), so an in-process try/except cannot bound the
+    wait — only a subprocess under a hard timeout can. CLOUDSC_BENCH_PROBE_
+    PLATFORM forces a platform via jax.config (the plugin overrides the
+    JAX_PLATFORMS env var at import, so the config call is required — this
+    is also the test hook for simulating an unreachable backend)."""
+    code = (
+        "import os, jax\n"
+        "p = os.environ.get('CLOUDSC_BENCH_PROBE_PLATFORM')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "import jax.numpy as jnp\n"
+        "jnp.ones((8, 128)).sum().block_until_ready()\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _backend_available() -> bool:
+    """Bounded probe/retry so a tunnel outage yields a structured skip line
+    instead of a stack trace (BENCH_r02 recorded a crash as the round's
+    metric). Total budget CLOUDSC_BENCH_PROBE_BUDGET seconds (default 180)."""
+    budget = float(os.environ.get("CLOUDSC_BENCH_PROBE_BUDGET", "180"))
+    per_try = min(90.0, max(5.0, budget)) if budget > 0 else 30.0
+    deadline = time.monotonic() + budget
+    while True:
+        if _probe_backend_once(per_try):
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(min(15.0, max(1.0, deadline - time.monotonic())))
+
+
+def _last_measured():
+    try:
+        with open(LAST_MEASURED_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _record_measurement(payload: dict) -> None:
+    try:
+        with open(LAST_MEASURED_PATH, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # the stdout line is the metric of record; the file is a cache
 
 
 def _sync(x):
@@ -49,9 +114,26 @@ def _dispatch_floor() -> float:
 
 
 def main() -> int:
+    force_cpu = os.environ.get("CLOUDSC_BENCH_CPU") == "1"
+    if not force_cpu and not _backend_available():
+        last = _last_measured()
+        print(
+            json.dumps(
+                {
+                    "skipped": True,
+                    "reason": "tpu_unavailable",
+                    "metric": "columns/s per chip (backend unreachable; "
+                              "last measured value attached)",
+                    "unit": "columns/s",
+                    "last_measured": last,
+                }
+            )
+        )
+        return 0
+
     import jax
 
-    if os.environ.get("CLOUDSC_BENCH_CPU") == "1":
+    if force_cpu:
         # weak-scaling rehearsal on a virtual CPU mesh (the platform plugin
         # overrides JAX_PLATFORMS, so the config update is required)
         jax.config.update("jax_platforms", "cpu")
@@ -119,19 +201,19 @@ def main() -> int:
     per_iter = max(best - floor, 1e-9) / iters
     cols_per_s = ngptot / per_iter / ndev
     mesh_note = f", {ndev}-device mesh" if use_mesh else ""
-    print(
-        json.dumps(
-            {
-                "metric": f"columns/s per chip (160K cols x 137 lev, fp32, "
-                          f"{driver.backend} backend{mesh_note})"
-                if on_tpu
-                else f"columns/s per chip (CPU fallback, {driver.backend})",
-                "value": round(cols_per_s, 1),
-                "unit": "columns/s",
-                "vs_baseline": round(cols_per_s / BASELINE_COLS_PER_S, 4),
-            }
-        )
-    )
+    payload = {
+        "metric": f"columns/s per chip (160K cols x 137 lev, fp32, "
+                  f"{driver.backend} backend{mesh_note})"
+        if on_tpu
+        else f"columns/s per chip (CPU fallback, {driver.backend})",
+        "value": round(cols_per_s, 1),
+        "unit": "columns/s",
+        "vs_baseline": round(cols_per_s / BASELINE_COLS_PER_S, 4),
+    }
+    print(json.dumps(payload))
+    if on_tpu:
+        _record_measurement({**payload, "measured_at": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())})
     return 0
 
 
