@@ -1011,22 +1011,26 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
                 zdpr = zcovpclr * zbeta * (zqsliq - zqe) / zdenom * zdp * zrg_r
                 zdpevap = zdpr * zdtgdp
                 zevap = jnp.minimum(zdpevap, qf_r)
-                amt = madd(llo1, zevap)
-                sa_vr = sadd(sa_vr, amt)
-                sa_rv = sadd(sa_rv, -amt)
-                covp = jnp.where(
-                    llo1,
-                    jnp.maximum(
-                        e.rcovpmin,
-                        covp
-                        - jnp.maximum(
-                            0.0,
-                            (covp - za) * zevap / jnp.where(llo1, qf_r, 1.0),
+                # same diagnostic skip tag as the IEVAPRAIN==2 branch so
+                # kernel-lab attribution works under either scheme config
+                if "s45r" not in c.skip:
+                    amt = madd(llo1, zevap)
+                    sa_vr = sadd(sa_vr, amt)
+                    sa_rv = sadd(sa_rv, -amt)
+                    covp = jnp.where(
+                        llo1,
+                        jnp.maximum(
+                            e.rcovpmin,
+                            covp
+                            - jnp.maximum(
+                                0.0,
+                                (covp - za) * zevap
+                                / jnp.where(llo1, qf_r, 1.0),
+                            ),
                         ),
-                    ),
-                    covp,
-                )
-                qf_r = qf_r - amt
+                        covp,
+                    )
+                    qf_r = qf_r - amt
             elif c.IEVAPRAIN == 2:
                 zzrh = e.rprecrhmax + (
                     1.0 - e.rprecrhmax

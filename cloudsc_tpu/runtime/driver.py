@@ -253,9 +253,12 @@ class CloudscDriver:
             def body(_, fs):
                 out = call(fs)
                 fs = dict(fs)
-                fs["col"] = fs["col"] + 0.0 * out.prainfrac_toprfz.reshape(
-                    1, -1, 128
-                )
+                # scalar zero-scaled dependency: shape-agnostic (the kernel
+                # slices outputs to ncol, which need not be a tile multiple —
+                # a full-array reshape against the padded 'col' buffer would
+                # fail at trace time for e.g. ngptot=100), still value-exact,
+                # and still a real loop-carried data dependency
+                fs["col"] = fs["col"] + 0.0 * out.prainfrac_toprfz.ravel()[0]
                 return fs
 
             dep = "col"
@@ -332,9 +335,14 @@ class CloudscDriver:
         timings.compute_s = (time.perf_counter() - t0) / iterations
         timer.end()
         timings.energy_line = sampler.stop_and_report()
-        per_dev = ncol * iterations // ndev
+        # distribute the column count exactly: the first (total % ndev)
+        # devices carry one extra column, so the table's TOTAL row sums to
+        # the true ncol*iterations (the JUBE scrapes are value-sensitive)
+        total_cols = ncol * iterations
+        base, extra = divmod(total_cols, ndev)
         for dev in range(ndev):
-            timer.log(dev, timings.compute_s * iterations, per_dev)
+            timer.log(dev, timings.compute_s * iterations,
+                      base + (1 if dev < extra else 0))
 
         if self.grouped:
             # map grouped-layout outputs back to canonical (cyclic) column

@@ -228,3 +228,29 @@ def test_grouped_mesh_outputs_bitwise_equal_cyclic():
         a = np.asarray(getattr(outs["cyclic"], name))
         b = np.asarray(getattr(regrouped, name))
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_driver_chained_non_tile_multiple(monkeypatch):
+    """iterations>1 with ngptot NOT a multiple of the padded tile width
+    (sublanes*128): the chained loop's zero-scaled dependency must be
+    shape-agnostic (a full-array reshape of the ncol-sliced output against
+    the padded packed buffer raised TypeError at trace time — advisor r2).
+    This is the timed path of every CLI run with --iterations > 1."""
+    from cloudsc_tpu.runtime.driver import CloudscDriver
+
+    monkeypatch.setenv("CLOUDSC_PALLAS_INTERPRET", "1")
+    inp = load_input(INPUT_PATH, ngptot=100, expand=False)
+    params = Params.from_input(inp)
+    d = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32,
+                      backend="pallas", sublanes=1)
+    out2, _, _ = d.run(inp, iterations=2)
+
+    d1 = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32,
+                       backend="pallas", sublanes=1)
+    out1, _, _ = d1.run(inp, iterations=1)
+    # the chained dependency is zero-scaled: iterating must not change values
+    for name in out1._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out1, name)),
+            np.asarray(getattr(out2, name)), err_msg=name,
+        )
