@@ -115,3 +115,73 @@ def test_two_rank_table_matches_single(two_rank_run, capsys, input_100,
         want = [e.minval, e.maxval, e.maxerr, e.avgpgp, 100.0 * e.relerr]
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-300,
                                    err_msg=e.name)
+
+
+@pytest.fixture(scope="module")
+def two_rank_packed_run(tmp_path_factory):
+    """2 real processes x the packed shard_map Pallas path (interpret mode):
+    the production pod configuration (multi-process x packed), previously
+    covered only single-process."""
+    outdir = tmp_path_factory.mktemp("mp_packed")
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(rank), "2", str(port),
+             str(outdir), "512", "packed"],
+            cwd=ROOT, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for rank in range(2)
+    ]
+    errs = []
+    for rank, p in enumerate(procs):
+        try:
+            _, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            _, err = p.communicate()
+            errs.append(f"rank {rank} TIMED OUT\n{err[-2000:]}")
+            continue
+        if p.returncode != 0:
+            errs.append(f"rank {rank} rc={p.returncode}\n{err[-2000:]}")
+    assert not errs, "\n".join(errs)
+    return outdir
+
+
+def test_two_rank_packed_bitwise_equals_single(two_rank_packed_run,
+                                               monkeypatch):
+    """Each rank's packed shard_map output shard == the matching column
+    slice of a single-process packed run, bitwise (512 columns over 2
+    ranks: both shards hold real columns)."""
+    import jax.numpy as jnp
+
+    from cloudsc_tpu.data import default_input_path, load_input
+    from cloudsc_tpu.params import Params
+    from cloudsc_tpu.runtime.driver import CloudscDriver
+
+    monkeypatch.setenv("CLOUDSC_PALLAS_INTERPRET", "1")
+    # cyclic layout to match the multi-process regime (grouping self-disables
+    # when process_count > 1)
+    monkeypatch.setenv("CLOUDSC_GROUP_COLUMNS", "0")
+    inp = load_input(default_input_path(), ngptot=512, expand=False)
+    params = Params.from_input(inp)
+    driver = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32,
+                           nproma=128, backend="pallas", sublanes=1)
+    assert driver.packed and not driver.grouped
+    single, _, _ = driver.run(inp, iterations=1)
+
+    seen_cols = 0
+    for rank in range(2):
+        z = np.load(two_rank_packed_run / f"packed_out_{rank}.npz")
+        for name in ("tendency_loc_t", "pfplsl", "plude",
+                     "prainfrac_toprfz"):
+            got = z[name]
+            start = int(z[name + "_start"])
+            stop = min(start + got.shape[-1], 512)
+            want = np.asarray(getattr(single, name))[..., start:stop]
+            np.testing.assert_array_equal(
+                got[..., : stop - start], want,
+                err_msg=f"rank {rank} {name}",
+            )
+        seen_cols += stop - start
+    assert seen_cols == 512  # the shards tile the whole column set
