@@ -100,3 +100,64 @@ def test_guard_catches_injected_fp32_bug(input_100, params,
     assert len(tripped) >= 3, (
         f"injected fp32 bug only tripped {tripped} — the guard lost its teeth"
     )
+
+
+# -- fp32 precision off the golden trajectory -------------------------------
+#
+# The snapshot-fitted bounds above can't see regimes the snapshot doesn't
+# visit. Re-run the same guard on test_robustness.py's randomized states
+# (seeded rain, +-8 K shifts, supersaturation, melting layers): the fp64
+# scan is the oracle, the SAME state cast to fp32 is the candidate, so any
+# divergence is precision. Bounds ~2x the values measured over seeds 0-2
+# (floor 1e-7 where the measured p90 is 0). The outlier fraction is larger
+# than on the snapshot (more live branch guards to flip) but must stay
+# bounded: widespread flips would mean fp32 is unusable off-snapshot.
+
+PERTURBED_P90_BOUND = {
+    "PLUDE": 1e-7, "PCOVPTOT": 3e-7, "PRAINFRAC_TOPRFZ": 1e-7,
+    "PFSQLF": 1e-6, "PFSQIF": 2.1e-6, "PFCQLNG": 4e-8, "PFCQNNG": 5e-8,
+    "PFSQRF": 9e-7, "PFSQSF": 2.5e-6, "PFCQRNG": 3e-8, "PFCQSNG": 4e-8,
+    "PFSQLTUR": 5e-9, "PFSQITUR": 2.5e-8,
+    "PFPLSL": 3e-7, "PFPLSN": 1.1e-6, "PFHPSL": 3e-7, "PFHPSN": 1e-6,
+    "TENDENCY_LOC%T": 1e-6, "TENDENCY_LOC%Q": 9e-7,
+    "TENDENCY_LOC%A": 7e-8, "TENDENCY_LOC%CLD": 8e-8,
+}
+PERTURBED_OUTLIER_FRAC_BOUND = 0.17  # measured <= 0.082 (seeds 0-2)
+
+
+@pytest.fixture(scope="module")
+def perturbed_run(input_100, params):
+    """One jitted scheme shared by all seeds (jit caches per dtype, so the
+    3-seed sweep costs 2 compiles, not 6)."""
+    from cloudsc_tpu.physics import cloudsc
+
+    return jax.jit(lambda f: cloudsc(f, params, input_100.ptsphy))
+
+
+@pytest.fixture(scope="module", params=[0, 1, 2],
+                ids=["seed0", "seed1", "seed2"])
+def perturbed_pair(request, input_100, perturbed_run):
+    """(fp64 oracle, fp32 run) on one randomized state; the fp32 inputs are
+    the fp64 state rounded, so both engines see the same meteorology."""
+    import jax.numpy as jnp
+
+    from test_robustness import _perturbed_fields
+
+    f64 = _perturbed_fields(input_100, jnp.float64, request.param)
+    f32 = {
+        k: (jnp.asarray(np.asarray(v), jnp.float32)
+            if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
+        for k, v in f64.items()
+    }
+    return perturbed_run(f64), perturbed_run(f32)
+
+
+def test_fp32_oracle_on_perturbed_states(perturbed_pair):
+    oracle, out32 = perturbed_pair
+    stats = _field_stats(oracle, out32)
+    bad = {}
+    for name, (p90, frac) in stats.items():
+        if (p90 > PERTURBED_P90_BOUND[name]
+                or frac > PERTURBED_OUTLIER_FRAC_BOUND):
+            bad[name] = (p90, frac)
+    assert not bad, f"fp32 drifted off-snapshot: {bad}"
