@@ -92,6 +92,16 @@ def run_weak_scaling(device_counts, cpu: bool, out_path: str) -> int:
             capture_output=True, text=True, cwd=ROOT, timeout=1800, env=env,
         )
         rec = dict(ndev=ndev, rc=proc.returncode)
+        if cpu:
+            # label the data itself, not just the stdout note: these numbers
+            # must never be read as ICI efficiency — N virtual devices
+            # time-slice ONE physical core, so per-chip throughput falls
+            # ~1/N by construction
+            rec["rehearsal"] = True
+            rec["rehearsal_reason"] = (
+                "virtual CPU mesh: all devices share one host core; "
+                "validates the sharded path, NOT an efficiency measurement"
+            )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 rec.update(json.loads(line))
@@ -107,6 +117,9 @@ def run_weak_scaling(device_counts, cpu: bool, out_path: str) -> int:
     smallest = min(results, key=lambda r: r["ndev"])
     base = smallest.get("value") if smallest["rc"] == 0 else None
     hdr = f"{'ndev':>5} {'cols/s/chip':>14} {'efficiency':>11}"
+    if cpu:
+        print("\n[REHEARSAL] virtual CPU mesh — efficiencies below measure "
+              "host-core time-slicing, not ICI scaling")
     print("\n" + hdr + "\n" + "-" * len(hdr))
     for r in results:
         v = r.get("value")
