@@ -22,6 +22,7 @@ embarrassingly parallel, so the scheme vmaps/shards over them trivially.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -248,7 +249,13 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
         ys["pfplsx_next"] = jnp.stack(ys["pfplsx_next"])
         return new_carry, ys
 
-    carry_end, ys = jax.lax.scan(step, carry0, xs)
+    # unroll: XLA fuses across consecutive levels (fewer loop-boundary
+    # materializations of the ~40-array carry/slice working set). Value- and
+    # order-exact — the per-level ops are unchanged, only the loop structure
+    # differs — so the fp64 goldens hold bitwise. Default measured in
+    # docs/PERFORMANCE.md; CLOUDSC_SCAN_UNROLL overrides.
+    unroll = int(os.environ.get("CLOUDSC_SCAN_UNROLL", "1"))
+    carry_end, ys = jax.lax.scan(step, carry0, xs, unroll=unroll)
 
     # ==================================================================
     # assemble full-level arrays

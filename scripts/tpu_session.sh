@@ -63,6 +63,15 @@ for ng in 65536 327680; do
     CLOUDSC_BENCH_NGPTOT="$ng" timeout 580 python bench.py
 done
 
+echo "--- [4e] scan engine (XLA path) unroll variants (VERDICT r2 item 7) ---"
+# CPU: unroll hurt fp32 (-8% at 4) but helped fp64 (+13-16%); the TPU fp32
+# answer needs this on-device A/B. Keep whichever wins as the documented
+# default (CLOUDSC_SCAN_UNROLL in physics/cloudsc.py).
+for u in 1 2 4; do
+    CLOUDSC_BENCH_BACKEND=xla CLOUDSC_SCAN_UNROLL="$u" CLOUDSC_BENCH_ITERS=5 \
+        timeout 580 python bench.py
+done
+
 echo "--- [5] CLI smoke, both engines (verify surfaces) ---"
 timeout 560 python -m cloudsc_tpu 1 16384 128 --kernel pallas | tail -30
 timeout 560 python -m cloudsc_tpu 1 16384 128 --kernel scan | tail -5

@@ -129,3 +129,20 @@ def test_padding_invariance(input_100, params):
         a = np.asarray(getattr(out_plain, name))
         b = np.asarray(getattr(out_pad, name))
         np.testing.assert_array_equal(a, b)
+
+
+def test_scan_unroll_bitwise_invariant(input_100, params, monkeypatch):
+    """CLOUDSC_SCAN_UNROLL only restructures the level loop (lax.scan
+    unroll); per-level ops and their order are unchanged, so outputs must be
+    BITWISE identical — the guard that keeps the fp64 goldens valid for any
+    unroll setting (docs/PERFORMANCE.md 'Scan engine')."""
+    import jax.numpy as jnp
+
+    base = _run(input_100, params, dtype=jnp.float32)
+    monkeypatch.setenv("CLOUDSC_SCAN_UNROLL", "4")
+    unrolled = _run(input_100, params, dtype=jnp.float32)
+    for name in base._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(base, name)),
+            np.asarray(getattr(unrolled, name)), err_msg=name,
+        )
