@@ -116,6 +116,16 @@ def run_weak_scaling(device_counts, cpu: bool, out_path: str) -> int:
     # larger mesh (which already carries scaling losses)
     smallest = min(results, key=lambda r: r["ndev"])
     base = smallest.get("value") if smallest["rc"] == 0 else None
+    if cpu and base:
+        # serialization-adjusted efficiency: N virtual devices share one
+        # core, so the IDEAL wall time is N x the 1-device time; the ratio
+        # N*value_N/value_1 then isolates sharding/partitioning overhead
+        # from core contention (the raw per-chip ratio conflates both)
+        for r in results:
+            v = r.get("value")
+            r["serialized_efficiency"] = (
+                round(r["ndev"] * v / base, 4) if v else None
+            )
     hdr = f"{'ndev':>5} {'cols/s/chip':>14} {'efficiency':>11}"
     if cpu:
         print("\n[REHEARSAL] virtual CPU mesh — efficiencies below measure "
@@ -125,7 +135,9 @@ def run_weak_scaling(device_counts, cpu: bool, out_path: str) -> int:
         v = r.get("value")
         r["efficiency"] = round(v / base, 4) if (v and base) else None
         eff_s = f"{v / base:>10.1%}" if (v and base) else f"{'n/a':>10}"
-        print(f"{r['ndev']:>5} {v if v else -1:>14} {eff_s}")
+        ser = r.get("serialized_efficiency")
+        ser_s = f"  (serialization-adjusted {ser:.1%})" if ser else ""
+        print(f"{r['ndev']:>5} {v if v else -1:>14} {eff_s}{ser_s}")
     if base is None:
         print(f"\nWARNING: ndev={smallest['ndev']} baseline run failed; "
               "efficiencies not computed")
