@@ -113,46 +113,14 @@ def _dispatch_floor() -> float:
     return best
 
 
-def main() -> int:
-    force_cpu = os.environ.get("CLOUDSC_BENCH_CPU") == "1"
-    if not force_cpu and not _backend_available():
-        last = _last_measured()
-        print(
-            json.dumps(
-                {
-                    "skipped": True,
-                    "reason": "tpu_unavailable",
-                    "metric": "columns/s per chip (backend unreachable; "
-                              "last measured value attached)",
-                    "unit": "columns/s",
-                    "last_measured": last,
-                }
-            )
-        )
-        return 0
-
+def _measure(backend: str, on_tpu: bool) -> dict:
+    """One full measurement with the CURRENT environment (grouping etc. is
+    read from env at driver construction). Raises on any compile/lowering
+    failure — the caller owns the fallback chain."""
     import jax
-
-    if force_cpu:
-        # weak-scaling rehearsal on a virtual CPU mesh (the platform plugin
-        # overrides JAX_PLATFORMS, so the config update is required)
-        jax.config.update("jax_platforms", "cpu")
-
-    from cloudsc_tpu.runtime.dist import initialize_multihost
-
-    initialize_multihost()  # no-op unless a multi-process launcher set env
-
-    on_tpu = jax.default_backend() not in ("cpu",)
     import jax.numpy as jnp
 
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", False)
-
-    import cloudsc_tpu
-
-    cloudsc_tpu.enable_compilation_cache()
-
-    from cloudsc_tpu.data import load_input
+    from cloudsc_tpu.data import default_input_path, load_input
     from cloudsc_tpu.params import Params
     from cloudsc_tpu.runtime.driver import CloudscDriver
 
@@ -164,12 +132,8 @@ def main() -> int:
         "CLOUDSC_BENCH_NGPTOT", (163840 if on_tpu else 8192) * ndev
     ))
     iters = int(os.environ.get("CLOUDSC_BENCH_ITERS", 10 if on_tpu else 2))
-    from cloudsc_tpu.data import default_input_path
 
-    input_path = default_input_path()
-    backend = os.environ.get("CLOUDSC_BENCH_BACKEND", "auto")
-
-    inp = load_input(input_path, ngptot=ngptot, expand=False)
+    inp = load_input(default_input_path(), ngptot=ngptot, expand=False)
     params = Params.from_input(inp)
     driver = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32, nproma=128,
                            backend=backend, use_mesh=use_mesh)
@@ -201,7 +165,8 @@ def main() -> int:
     per_iter = max(best - floor, 1e-9) / iters
     cols_per_s = ngptot / per_iter / ndev
     mesh_note = f", {ndev}-device mesh" if use_mesh else ""
-    payload = {
+    layout = "grouped" if driver.grouped else "cyclic"
+    return {
         "metric": f"columns/s per chip (160K cols x 137 lev, fp32, "
                   f"{driver.backend} backend{mesh_note})"
         if on_tpu
@@ -209,7 +174,97 @@ def main() -> int:
         "value": round(cols_per_s, 1),
         "unit": "columns/s",
         "vs_baseline": round(cols_per_s / BASELINE_COLS_PER_S, 4),
+        "config": f"{driver.backend}/{layout}",
     }
+
+
+def main() -> int:
+    force_cpu = os.environ.get("CLOUDSC_BENCH_CPU") == "1"
+    if not force_cpu and not _backend_available():
+        last = _last_measured()
+        print(
+            json.dumps(
+                {
+                    "skipped": True,
+                    "reason": "tpu_unavailable",
+                    "metric": "columns/s per chip (backend unreachable; "
+                              "last measured value attached)",
+                    "unit": "columns/s",
+                    "last_measured": last,
+                }
+            )
+        )
+        return 0
+
+    import jax
+
+    if force_cpu:
+        # weak-scaling rehearsal on a virtual CPU mesh (the platform plugin
+        # overrides JAX_PLATFORMS, so the config update is required)
+        jax.config.update("jax_platforms", "cpu")
+
+    from cloudsc_tpu.runtime.dist import initialize_multihost
+
+    initialize_multihost()  # no-op unless a multi-process launcher set env
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", False)
+
+    import cloudsc_tpu
+
+    cloudsc_tpu.enable_compilation_cache()
+
+    backend = os.environ.get("CLOUDSC_BENCH_BACKEND", "auto")
+
+    # Fallback chain: the configured run first, then (if it used the grouped
+    # Pallas layout) the ungrouped Pallas kernel, then the XLA scan engine.
+    # A Mosaic lowering failure in a new kernel body must degrade the metric,
+    # never erase it (BENCH_r02 recorded an outage crash as the round's
+    # number; a compile crash would be the same failure by another door).
+    attempts = [
+        ("configured", backend, {}),
+        ("pallas_ungrouped", backend, {"CLOUDSC_GROUP_COLUMNS": "0"}),
+        ("scan", "xla", {}),
+    ]
+    payload = None
+    errors = []
+    for name, bk, env in attempts:
+        if name == "pallas_ungrouped" and (
+            backend == "xla"
+            or os.environ.get("CLOUDSC_GROUP_COLUMNS", "1") == "0"
+        ):
+            continue  # would replay the configuration that just failed
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            payload = _measure(bk, on_tpu)
+            if errors:
+                payload["fallback"] = name
+                payload["fallback_reason"] = errors[0]
+            break
+        except Exception as e:  # noqa: BLE001 — any compile/runtime failure
+            msg = f"{name}: {type(e).__name__}: {e}"
+            errors.append(msg[:500])
+            print(f"bench: {name} config failed, trying next: "
+                  f"{msg[:200]}", file=sys.stderr)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+    if payload is None:
+        print(json.dumps({
+            "skipped": True,
+            "reason": "all_configs_failed",
+            "errors": errors,
+            "unit": "columns/s",
+            "last_measured": _last_measured(),
+        }))
+        return 0
+
     print(json.dumps(payload))
     if on_tpu:
         _record_measurement({**payload, "measured_at": time.strftime(

@@ -58,8 +58,9 @@ for lps in 2 3 23; do
     timeout 580 python bench/kernel_lab.py --order sorted --lps "$lps"
 done
 
-echo "--- [4d] size sweep under the grouped default (flatness check) ---"
-for ng in 65536 327680; do
+echo "--- [4d] size sweep under the grouped default (flatness check; fills ---"
+echo "---      the blank 245K/327K/409K row of docs/PERFORMANCE.md) ---"
+for ng in 65536 245760 327680 409600; do
     CLOUDSC_BENCH_NGPTOT="$ng" timeout 580 python bench.py
 done
 

@@ -50,6 +50,39 @@ def test_skip_line_when_backend_unreachable():
     assert rec["last_measured"]["value"] > 0
 
 
+def test_fallback_chain_survives_kernel_compile_failure():
+    """A Mosaic lowering failure in a new kernel body must DEGRADE the metric
+    (fall back to the scan engine), never erase it. Simulated by forcing the
+    pallas backend on CPU, where the Mosaic kernel genuinely cannot lower —
+    the same failure class as a bad kernel body on TPU."""
+    env = dict(os.environ)
+    env.update(
+        {
+            "CLOUDSC_BENCH_CPU": "1",
+            "CLOUDSC_BENCH_BACKEND": "pallas",
+            "CLOUDSC_BENCH_NGPTOT": "512",
+            "CLOUDSC_BENCH_ITERS": "1",
+        }
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON line in stdout: {r.stdout!r}"
+    rec = json.loads(lines[-1])
+    assert "skipped" not in rec, rec
+    assert rec["value"] > 0
+    assert rec["config"].startswith("xla/")
+    assert rec["fallback"] == "scan"
+    assert "fallback_reason" in rec
+
+
 def test_last_measured_file_parses():
     path = os.path.join(REPO, "bench", "last_measured.json")
     with open(path) as f:
