@@ -214,7 +214,8 @@ def main(argv=None) -> int:
                 ref_dev = jax.device_put(ref_cast)
             norms = np.asarray(device_field_norms(out, ref_dev))
             validate_from_norms(norms, ngptotg, print_table=rank0,
-                                multiprocess=nranks > 1)
+                                multiprocess=nranks > 1,
+                                work_eps=float(np.finfo(dtype).eps))
 
     # snapshot hooks for regenerating goldens — the Serialbox write hooks of
     # the reference (CLOUDSC_WRITE_INPUT/CLOUDSC_WRITE_REFERENCE,

@@ -32,6 +32,7 @@ Vector-op-count engineering (the kernel is VPU-bound, not bandwidth-bound):
 
 from __future__ import annotations
 
+import os
 from types import SimpleNamespace
 
 import jax
@@ -141,11 +142,16 @@ class SchemeConfig(SimpleNamespace):
     """
 
     def __init__(self, iwarmrain=2, ievaprain=2, ievapsnow=1, idepice=1,
-                 skip=(), dynamic_skips=True):
+                 skip=(), dynamic_skips=True, s521_round_skip=None):
+        if s521_round_skip is None:
+            s521_round_skip = (
+                os.environ.get("CLOUDSC_S521_ROUND_SKIP", "0") == "1"
+            )
         super().__init__(iwarmrain=int(iwarmrain), ievaprain=int(ievaprain),
                          ievapsnow=int(ievapsnow), idepice=int(idepice),
                          skip=tuple(skip),
-                         dynamic_skips=bool(dynamic_skips))
+                         dynamic_skips=bool(dynamic_skips),
+                         s521_round_skip=bool(s521_round_skip))
 
 
 def derived_consts(params, ptsphy: float, dtype,
@@ -186,6 +192,8 @@ def derived_consts(params, ptsphy: float, dtype,
     # False = always trace the active branch (tests prove the dynamic
     # fast paths are value-exact by diffing against this)
     c.dynamic_skips = bool(getattr(cfg, "dynamic_skips", True))
+    # per-round dynamic skips inside the 5.2.1 rescale (see _rescale_sinks)
+    c.s521_round_skip = bool(getattr(cfg, "s521_round_skip", False))
     return c
 
 
@@ -1325,29 +1333,82 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
                 jnp.where(rank[m] == 0, zratio[m], one) for m in range(NCLV)
             ]
             zmaxe = [jnp.maximum(zqx[m], ZEPSEC) for m in range(NCLV)]
+            # Per-round dynamic skip (CLOUDSC_S521_ROUND_SKIP=1). The initial
+            # overshoot count is NOT a sound round predicate: a round scales
+            # both the negative entry AND its mirror (ref: 2571-2575), so an
+            # earlier round can shrink another species' SOURCES and induce an
+            # overshoot that was not there initially. The sound guard is the
+            # worst case over any factors f in (0, 1]: the recomputed sink of
+            # species m at its round is sum_n(-sq[m][n]*f_n) where negative
+            # entries contribute at most their unscaled value and positive
+            # entries contribute <= 0, so it is bounded by the negative-
+            # entries-only sum. A species with that bound <= zmax can NEVER
+            # overshoot; its round computes ratio_sel = zmaxe/zmaxe == 1.0
+            # exactly and is the bitwise identity. Round r is therefore
+            # skippable when every column's rank-r species carries the
+            # guarantee — a batch-level lax.cond, value-exact like the outer
+            # no-overshoot skip (which is the all-species case of this bound).
+            never_over = None
+            if c.s521_round_skip:
+                never_over = []
+                for m in range(NCLV):
+                    npart = None
+                    for n in range(NCLV):
+                        if sq[m][n] is None:
+                            continue
+                        npart = sadd(
+                            npart, madd(sq[m][n] < 0.0, -sq[m][n])
+                        )
+                    never_over.append(
+                        jnp.ones_like(zmax[m], dtype=bool)
+                        if npart is None else (npart <= zmax[m])
+                    )
             for round_i in range(1, NCLV):
                 # exactly ONE species has rank == round_i per column, so the
                 # round's division is done once on the one-hot-selected
                 # (numerator, denominator) pair — bitwise identical to dividing
                 # per species (summing four exact zeros and one value changes no
                 # bits), and 4 fewer VPU divides per round
-                sel = [rank[m] == round_i for m in range(NCLV)]
-                num = None
-                den = None
-                for m in range(NCLV):
-                    sink = None
-                    for n in range(NCLV):
-                        if sq[m][n] is None:
-                            continue
-                        v = sq[m][n]
-                        if prec[m][n] is not None:
-                            v = v * jnp.where(prec[m][n], ratio_fin[n], 1.0)
-                        sink = sadd(sink, -v)
-                    num = sadd(num, madd(sel[m], zmaxe[m]))
-                    den = sadd(den, madd(sel[m], jnp.maximum(sink, zmaxe[m])))
-                ratio_sel = num / den
-                for m in range(NCLV):
-                    ratio_fin[m] = jnp.where(sel[m], ratio_sel, ratio_fin[m])
+                def _round(rf, _r=round_i):
+                    ratio_fin = list(rf)
+                    sel = [rank[m] == _r for m in range(NCLV)]
+                    num = None
+                    den = None
+                    for m in range(NCLV):
+                        sink = None
+                        for n in range(NCLV):
+                            if sq[m][n] is None:
+                                continue
+                            v = sq[m][n]
+                            if prec[m][n] is not None:
+                                v = v * jnp.where(prec[m][n], ratio_fin[n], 1.0)
+                            sink = sadd(sink, -v)
+                        num = sadd(num, madd(sel[m], zmaxe[m]))
+                        den = sadd(
+                            den, madd(sel[m], jnp.maximum(sink, zmaxe[m]))
+                        )
+                    ratio_sel = num / den
+                    for m in range(NCLV):
+                        ratio_fin[m] = jnp.where(sel[m], ratio_sel, ratio_fin[m])
+                    return tuple(ratio_fin)
+
+                if c.s521_round_skip:
+                    unsafe = None
+                    for m in range(NCLV):
+                        u = (rank[m] == round_i) & jnp.logical_not(
+                            never_over[m]
+                        )
+                        unsafe = u if unsafe is None else (unsafe | u)
+                    if probe_hook is not None:
+                        probe_hook(f"s521r{round_i}", unsafe)
+                    need = jnp.any(unsafe)
+                    if force_on is not None:
+                        need = need | force_on
+                    ratio_fin = list(jax.lax.cond(
+                        need, _round, lambda rf: rf, tuple(ratio_fin)
+                    ))
+                else:
+                    ratio_fin = list(_round(tuple(ratio_fin)))
             out = []
             for m, n in sq_idx:
                 v = sq[m][n]

@@ -59,20 +59,24 @@ class FieldErrors:
     errsum: float
     refsum: float
     avgpgp: float
+    # epsilon of the WORKING precision: the reference's threshold is
+    # 10*EPSILON(1.0_JPRB), i.e. sp eps in a single-precision build
+    # (ref: validate_mod.F90:270,289) — an fp32 run must not be flagged
+    # against the fp64 bar.
+    eps: float = float(np.finfo(np.float64).eps)
 
     @property
     def relerr(self) -> float:
         """Relative error variant selection (ref: validate_mod.F90:273-283)."""
-        eps = np.finfo(np.float64).eps
-        if self.errsum < eps:
+        if self.errsum < self.eps:
             return 0.0
-        if self.refsum < eps:
+        if self.refsum < self.eps:
             return self.errsum / (1.0 + self.refsum)
         return self.errsum / self.refsum
 
     @property
     def flagged(self) -> bool:
-        return self.relerr > 10.0 * np.finfo(np.float64).eps
+        return self.relerr > 10.0 * self.eps
 
 
 def field_errors(name: str, field, ref, ngptotg: int | None = None) -> FieldErrors:
@@ -81,7 +85,10 @@ def field_errors(name: str, field, ref, ngptotg: int | None = None) -> FieldErro
     Large fields take the threaded C++ single-pass path (the analogue of the
     reference's native cloudsc_validate.c); numpy otherwise.
     """
-    field = np.asarray(field, dtype=np.float64)
+    field = np.asarray(field)
+    work_eps = float(np.finfo(field.dtype).eps) if np.issubdtype(
+        field.dtype, np.floating) else float(np.finfo(np.float64).eps)
+    field = field.astype(np.float64)
     ref = np.asarray(ref, dtype=np.float64)
     n = ngptotg if ngptotg is not None else field.shape[-1]
     stats = None
@@ -105,6 +112,7 @@ def field_errors(name: str, field, ref, ngptotg: int | None = None) -> FieldErro
         errsum=float(errsum),
         refsum=float(refsum),
         avgpgp=float(errsum / n),
+        eps=work_eps,
     )
 
 
@@ -133,8 +141,8 @@ def _e20_13(x: float) -> str:
 def error_line(errs: FieldErrors) -> str:
     """One validation row (ref: validate_mod.F90:292-294 format 1000)."""
     relerr = errs.relerr
-    iopt = 1 if errs.errsum < np.finfo(np.float64).eps else (
-        2 if errs.refsum < np.finfo(np.float64).eps else 3
+    iopt = 1 if errs.errsum < errs.eps else (
+        2 if errs.refsum < errs.eps else 3
     )
     clwarn = " !!!!" if errs.flagged else ""
     vals = "".join(
@@ -221,10 +229,15 @@ def device_field_norms(outputs, reference: dict):
 
 def validate_from_norms(norms: np.ndarray, ngptotg: int,
                         print_table: bool = True,
-                        multiprocess: bool = False) -> list[FieldErrors]:
+                        multiprocess: bool = False,
+                        work_eps: float | None = None) -> list[FieldErrors]:
     """Build the validation table from precomputed (21, 5) norm rows
-    (device-side path); optionally allreduce across processes first."""
+    (device-side path); optionally allreduce across processes first.
+    `work_eps` is the run's working-precision epsilon (fp32 runs flag at
+    10*sp-eps like the reference's SINGLE build, ref: validate_mod.F90:270)."""
     norms = np.asarray(norms, dtype=np.float64)
+    if work_eps is None:
+        work_eps = float(np.finfo(np.float64).eps)
     if multiprocess:
         from .runtime.dist import allreduce_field_norms
 
@@ -234,7 +247,7 @@ def validate_from_norms(norms: np.ndarray, ngptotg: int,
         results.append(FieldErrors(
             name=name, ndim=ndim_hint, minval=float(r[0]), maxval=float(r[1]),
             maxerr=float(r[2]), errsum=float(r[3]), refsum=float(r[4]),
-            avgpgp=float(r[3]) / float(ngptotg),
+            avgpgp=float(r[3]) / float(ngptotg), eps=work_eps,
         ))
     if print_table:
         lines = [validation_header()]

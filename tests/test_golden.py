@@ -87,3 +87,26 @@ def test_golden_fp64_flag_count(golden_outputs_fp64, reference_100):
                             ngptotg=100, print_table=False)
     flagged = [e.name for e in errs if e.flagged]
     assert len(flagged) <= 1, f"fp64 flag count regressed: {flagged}"
+
+
+def test_flag_threshold_uses_working_precision():
+    """The `!!!!` threshold is 10*EPSILON(1.0_JPRB) — the WORKING precision's
+    epsilon (ref: validate_mod.F90:270,289): an sp build flags at 10*sp-eps,
+    not the fp64 bar. A relative error of ~1e-9 is beyond 10*fp64-eps but
+    well inside 10*sp-eps, so the same numbers must flag as fp64 input and
+    pass as fp32 input."""
+    import numpy as np
+
+    from cloudsc_tpu.validate import field_errors
+
+    ref = np.linspace(1.0, 2.0, 4096)
+    noise = 1e-9 * ref
+    e64 = field_errors("X", ref + noise, ref)
+    assert e64.flagged and e64.relerr > 0
+    # identical VALUES presented at fp32 working precision: compute the
+    # stats from the fp64 field but stamp the fp32 eps the way field_errors
+    # does for an fp32 array (the cast itself would add ~1e-7 error)
+    e32 = field_errors("X", (ref + noise).astype(np.float32), ref)
+    assert e32.eps == float(np.finfo(np.float32).eps)
+    assert e32.relerr < 10.0 * e32.eps  # cast error ~eps, threshold 10*eps
+    assert not e32.flagged

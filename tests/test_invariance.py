@@ -146,3 +146,51 @@ def test_scan_unroll_bitwise_invariant(input_100, params, monkeypatch):
             np.asarray(getattr(base, name)),
             np.asarray(getattr(unrolled, name)), err_msg=name,
         )
+
+
+def test_s521_round_skip_is_inert(input_100, params):
+    """CLOUDSC_S521_ROUND_SKIP per-round conds in the 5.2.1 rescale must be
+    value-exact: rescale factors lie in (0,1] and only shrink negative
+    entries, so sink sums are non-increasing across rounds and any round
+    beyond the per-column overshoot count computes ratio_sel == 1.0 exactly
+    (scheme.py _rescale_sinks). Diffs the dynamic configuration against the
+    same cond structure with every predicate pinned ON (dynamic_skips=False
+    routes force_on through the round conds too), so codegen is identical
+    and any non-inert skipped round shows as a nonzero diff. Also checks a
+    synthetic raining state (exercises the precip sub-branches) and a
+    perturbed supersaturated state (more multi-species overshoots)."""
+    import jax.numpy as jnp
+
+    from cloudsc_tpu.physics import cloudsc, make_inputs
+    from cloudsc_tpu.physics.scheme import SchemeConfig
+    from test_robustness import _perturbed_fields
+    from test_scheme_versions import _raining_fields
+
+    base = make_inputs(input_100, dtype=jnp.float64)
+    rainy = _raining_fields(input_100, jnp.float64)
+    shaken = _perturbed_fields(input_100, jnp.float64, seed=3)
+    for fields in (base, rainy, shaken):
+        fast = jax.jit(
+            lambda f: cloudsc(
+                f, params, input_100.ptsphy,
+                config=SchemeConfig(s521_round_skip=True),
+            )
+        )(fields)
+        slow = jax.jit(
+            lambda f: cloudsc(
+                f, params, input_100.ptsphy,
+                config=SchemeConfig(s521_round_skip=True,
+                                    dynamic_skips=False),
+            )
+        )(fields)
+        jax.block_until_ready((fast, slow))
+        for name in ("plude", "pcovptot", "pfplsl", "pfplsn",
+                     "tendency_loc_t", "tendency_loc_q", "tendency_loc_a",
+                     "tendency_loc_cld", "prainfrac_toprfz", "pfhpsn"):
+            diff = np.asarray(getattr(fast, name)) - np.asarray(
+                getattr(slow, name)
+            )
+            assert np.all(diff == 0.0), (
+                f"{name}: s521 round skip not inert "
+                f"(max abs diff {np.abs(diff).max()})"
+            )
