@@ -167,8 +167,8 @@ def _measure(backend: str, on_tpu: bool) -> dict:
     mesh_note = f", {ndev}-device mesh" if use_mesh else ""
     layout = "grouped" if driver.grouped else "cyclic"
     return {
-        "metric": f"columns/s per chip (160K cols x 137 lev, fp32, "
-                  f"{driver.backend} backend{mesh_note})"
+        "metric": f"columns/s per chip ({ngptot // 1024}K cols x 137 lev, "
+                  f"fp32, {driver.backend} backend{mesh_note})"
         if on_tpu
         else f"columns/s per chip (CPU fallback, {driver.backend})",
         "value": round(cols_per_s, 1),
@@ -266,7 +266,15 @@ def main() -> int:
         return 0
 
     print(json.dumps(payload))
-    if on_tpu:
+    # Cache only the DEFAULT configuration: A/B sweeps with env overrides
+    # (backend/size/layout knobs) must not replace the metric-of-record
+    # fallback that the outage skip line cites.
+    default_config = not any(os.environ.get(k) for k in (
+        "CLOUDSC_BENCH_BACKEND", "CLOUDSC_BENCH_NGPTOT", "CLOUDSC_BENCH_MESH",
+        "CLOUDSC_GROUP_COLUMNS", "CLOUDSC_GROUP_SORT", "CLOUDSC_PALLAS_LPS",
+        "CLOUDSC_SCHEME_SKIP", "CLOUDSC_S521_ROUND_SKIP",
+    ))
+    if on_tpu and default_config:
         _record_measurement({**payload, "measured_at": time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime())})
     return 0

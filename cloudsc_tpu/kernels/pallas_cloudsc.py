@@ -391,11 +391,13 @@ def _write_level_rows(c, o_lev, o_half, scr, sub, k, raw, ini, *, plude_row,
 
 def _lps_for(nlev: int) -> int:
     """Levels integrated per grid step (packed mode): the largest divisor of
-    nlev+1 not exceeding CLOUDSC_PALLAS_LPS (default 6). More levels per step
-    amortize DMA issue and pipeline overhead at the cost of VMEM block size
-    (6 beats 2 by ~4% with the branchy scheme body, docs/PERFORMANCE.md;
-    2/3/6 were within noise before the dynamic skips)."""
-    req = int(os.environ.get("CLOUDSC_PALLAS_LPS", "6"))
+    nlev+1 not exceeding CLOUDSC_PALLAS_LPS (default 3). Measured on the
+    grouped+fold body at L137 (bench/lab11_grouped.log [4c]): lps 3 gives
+    8.62 ms/step vs 9.57 @6 and 10.31 @2 — the dynamic-skip branches made
+    the smaller level group the optimum (finer cond granularity beats DMA
+    amortization); 23 blows up the Mosaic compile (>580 s, body replicated
+    per level). Earlier bodies preferred 6 (docs/PERFORMANCE.md history)."""
+    req = int(os.environ.get("CLOUDSC_PALLAS_LPS", "3"))
     for cand in range(max(1, min(req, nlev + 1)), 0, -1):
         if (nlev + 1) % cand == 0:
             return cand

@@ -252,9 +252,15 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
     # unroll: XLA fuses across consecutive levels (fewer loop-boundary
     # materializations of the ~40-array carry/slice working set). Value- and
     # order-exact — the per-level ops are unchanged, only the loop structure
-    # differs — so the fp64 goldens hold bitwise. Default measured in
-    # docs/PERFORMANCE.md; CLOUDSC_SCAN_UNROLL overrides.
-    unroll = int(os.environ.get("CLOUDSC_SCAN_UNROLL", "1"))
+    # differs — so the fp64 goldens hold bitwise. Measured A/B (docs/
+    # PERFORMANCE.md "Scan engine"): unroll=4 wins on TPU fp32 (+9.4%,
+    # bench/lab11_grouped.log [4e]) and CPU fp64 (+16%), loses on CPU fp32
+    # (−12%) — default per (platform, dtype); CLOUDSC_SCAN_UNROLL overrides.
+    on_cpu = jax.default_backend() == "cpu"
+    fp64 = fields["pt"].dtype == jnp.float64
+    unroll = int(os.environ.get(
+        "CLOUDSC_SCAN_UNROLL", "1" if (on_cpu and not fp64) else "4"
+    ))
     carry_end, ys = jax.lax.scan(step, carry0, xs, unroll=unroll)
 
     # ==================================================================
