@@ -72,6 +72,16 @@ def _backend_available() -> bool:
         time.sleep(min(15.0, max(1.0, deadline - time.monotonic())))
 
 
+def _fold_default_on() -> bool:
+    """Whether the CURRENT environment enables the folded packed layout
+    (the default lives in kernels/pallas_cloudsc.FOLD_DEFAULT)."""
+    try:
+        from cloudsc_tpu.kernels.pallas_cloudsc import fold_enabled
+        return fold_enabled()
+    except Exception:
+        return os.environ.get("CLOUDSC_FOLD_INPUTS", "0") == "1"
+
+
 def _last_measured():
     try:
         with open(LAST_MEASURED_PATH) as f:
@@ -166,6 +176,8 @@ def _measure(backend: str, on_tpu: bool) -> dict:
     cols_per_s = ngptot / per_iter / ndev
     mesh_note = f", {ndev}-device mesh" if use_mesh else ""
     layout = "grouped" if driver.grouped else "cyclic"
+    if getattr(driver, "folded", False):
+        layout += "+fold"
     return {
         "metric": f"columns/s per chip ({ngptot // 1024}K cols x 137 lev, "
                   f"fp32, {driver.backend} backend{mesh_note})"
@@ -225,12 +237,18 @@ def main() -> int:
     # number; a compile crash would be the same failure by another door).
     attempts = [
         ("configured", backend, {}),
-        ("pallas_ungrouped", backend, {"CLOUDSC_GROUP_COLUMNS": "0"}),
+        ("pallas_unfolded", backend, {"CLOUDSC_FOLD_INPUTS": "0"}),
+        ("pallas_ungrouped", backend,
+         {"CLOUDSC_GROUP_COLUMNS": "0", "CLOUDSC_FOLD_INPUTS": "0"}),
         ("scan", "xla", {}),
     ]
     payload = None
     errors = []
     for name, bk, env in attempts:
+        if name == "pallas_unfolded" and (
+            backend == "xla" or not _fold_default_on()
+        ):
+            continue  # fold wasn't in play; skip to the next rung
         if name == "pallas_ungrouped" and (
             backend == "xla"
             or os.environ.get("CLOUDSC_GROUP_COLUMNS", "1") == "0"
@@ -268,12 +286,26 @@ def main() -> int:
     print(json.dumps(payload))
     # Cache only the DEFAULT configuration: A/B sweeps with env overrides
     # (backend/size/layout knobs) must not replace the metric-of-record
-    # fallback that the outage skip line cites.
-    default_config = not any(os.environ.get(k) for k in (
-        "CLOUDSC_BENCH_BACKEND", "CLOUDSC_BENCH_NGPTOT", "CLOUDSC_BENCH_MESH",
-        "CLOUDSC_GROUP_COLUMNS", "CLOUDSC_GROUP_SORT", "CLOUDSC_PALLAS_LPS",
-        "CLOUDSC_SCHEME_SKIP", "CLOUDSC_S521_ROUND_SKIP",
-    ))
+    # fallback that the outage skip line cites. A knob explicitly set to its
+    # default VALUE still counts as the default configuration (advisor r3).
+    try:
+        from cloudsc_tpu.kernels.pallas_cloudsc import FOLD_DEFAULT
+    except Exception:
+        FOLD_DEFAULT = "0"
+    knob_defaults = {
+        "CLOUDSC_BENCH_BACKEND": "auto",
+        "CLOUDSC_BENCH_NGPTOT": "163840",
+        "CLOUDSC_BENCH_MESH": "0",
+        "CLOUDSC_GROUP_COLUMNS": "1",
+        "CLOUDSC_GROUP_SORT": "1",
+        "CLOUDSC_PALLAS_LPS": "3",
+        "CLOUDSC_SCHEME_SKIP": "",
+        "CLOUDSC_S521_ROUND_SKIP": "0",
+        "CLOUDSC_FOLD_INPUTS": FOLD_DEFAULT,
+    }
+    default_config = all(
+        os.environ.get(k, d) == d for k, d in knob_defaults.items()
+    )
     if on_tpu and default_config:
         _record_measurement({**payload, "measured_at": time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime())})

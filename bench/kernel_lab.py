@@ -65,6 +65,11 @@ def main() -> int:
     p.add_argument("--skip", nargs="+", default=[""],
                    help="comma-joined section tags to skip, swept one value "
                         "per run (attribution; '' = full physics)")
+    p.add_argument("--fold", type=int, nargs="+", default=[-1],
+                   help="folded packed layout(s) to sweep (0/1; -1 = the "
+                        "CLOUDSC_FOLD_INPUTS env default). Folding removes "
+                        "~1/3 of the streamed input rows — A/B it "
+                        "interleaved within one session")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--out", default=None)
     a = p.parse_args()
@@ -90,8 +95,9 @@ def main() -> int:
         params = Params.from_input(inp)
         from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs_raw
 
-        for sb, lps, order in ((s, l, o) for s in a.sb for l in a.lps
-                               for o in a.order):
+        for sb, lps, order, fold in ((s, l, o, fl) for s in a.sb
+                                     for l in a.lps for o in a.order
+                                     for fl in a.fold):
             # lps must be pinned BEFORE packing: the pad-row decision at pack
             # time (_lps_for) has to agree with the kernel's level blocking
             os.environ["CLOUDSC_PALLAS_LPS"] = str(lps)
@@ -107,6 +113,7 @@ def main() -> int:
                 inp, sb, params,
                 column_order="grouped" if order == "sorted" else order,
                 column_perm=perm,
+                fold=None if fold < 0 else bool(fold),
             )
             packed = jax.device_put(packed)
             jax.block_until_ready(packed)
@@ -142,7 +149,8 @@ def main() -> int:
                         _sync(chained(packed))
                         best = min(best, time.perf_counter() - t0)
                 except Exception as e:
-                    print(f"ngptot={ngptot} sb={sb} lps={lps} {mode}: "
+                    print(f"ngptot={ngptot} sb={sb} lps={lps} fold={fold} "
+                          f"{mode}: "
                           f"FAILED {type(e).__name__}: {str(e)[:200]}",
                           flush=True)
                     continue
@@ -150,6 +158,7 @@ def main() -> int:
                 cols_s = ncol / per_iter
                 rec = dict(ngptot=ngptot, sb=sb, lps=lps, mode=mode,
                            order=order, skip=skip,
+                           fold=("nxt" not in packed),
                            ms_per_step=round(per_iter * 1e3, 3),
                            cols_per_s=round(cols_s, 0),
                            compile_s=round(compile_s, 1))

@@ -108,11 +108,65 @@ _PACK_IDX = {name: i for i, name in enumerate(_PACK_ROWS)}
 # multi-level block
 _NEXT_FIELDS = ("pmfu", "pmfd", "plu")
 
+# ---------------------------------------------------------------------------
+# Folded packed layout (CLOUDSC_FOLD_INPUTS) — the input-side roofline attack.
+#
+# The scheme never reads the raw state and tendency_tmp fields separately:
+# section 1 consumes only x + PTSPHY*tend (ref: cloudsc.F90:662-682), and
+# PMFU/PMFD and PHRSW/PHRLW are only ever consumed summed (ref: 1145, 1203,
+# 1288-1289). Folding those sums at LOAD time (fp64, file width, before the
+# working-precision cast — a strictly more accurate single rounding) removes
+# 9 streamed rows per level; merging PAPH into the pack (its natural nlev+1
+# rows replace the lps pad row) removes the separate paph buffer and the nxt
+# lookahead buffer (the k+1 reads — pmf/plu/paph, rows 0-2 — come from a
+# second 3-row BlockSpec over the SAME pack array). Net: ~28 streamed input
+# rows per level drop to ~19 (docs/PERFORMANCE.md "folded packed layout").
+# ---------------------------------------------------------------------------
+_PACK_ROWS_F = [
+    # rows 0-2 MUST stay first: the k+1 lookahead BlockSpec reads block
+    # (1, 3, SB, LANES) at row-block index 0
+    "pmf", "plu", "paph",
+    "ztp1_in", "zqv_in", "za_in", "pap", "pvervel", "zhr",
+    "plude", "psnde", "psupsat", "pvfl", "pvfi",
+    "zqx0_in", "zqx1_in", "zqx2_in", "zqx3_in",
+]
+_PACK_IDX_F = {name: i for i, name in enumerate(_PACK_ROWS_F)}
 
-def _unpack_inputs(ins, packed, aer, sub, lps):
-    """-> (r, (pmfu_n, pmfd_n, plu_n), (paph_k, paph_k1), (plsm, ldcum, ktype,
+# default OFF until measured on device (the round-2 lesson: never ship an
+# unmeasured default) — the TPU session A/Bs it and flips this constant
+FOLD_DEFAULT = "0"
+
+
+def fold_enabled() -> bool:
+    return os.environ.get("CLOUDSC_FOLD_INPUTS", FOLD_DEFAULT) == "1"
+
+
+def _unpack_inputs(ins, packed, aer, sub, lps, fold=False):
+    """-> (r, (pmf_n, plu_n), (paph_k, paph_k1), (plsm, ldcum, ktype,
     paph_surf)) as (SB, 128) arrays for sub-level `sub` of an lps-level block.
-    `aer` lists the extra per-level aerosol fields appended to the layout."""
+    `aer` lists the extra per-level aerosol fields appended to the layout.
+    The nxt trio is pre-summed: pmf_n = (pmfu+pmfd) at k+1."""
+    if fold:
+        pack, look, col = ins
+        r = {name: pack[sub, _PACK_IDX_F[name]]
+             for name in ("pmf", "plu", "pap", "pvervel", "zhr",
+                          "plude", "psnde", "psupsat", "pvfl", "pvfi",
+                          "ztp1_in", "zqv_in", "za_in")}
+        r["zqx_cld_in"] = [
+            pack[sub, _PACK_IDX_F[f"zqx{m}_in"]] for m in range(4)
+        ]
+        for j, name in enumerate(aer):
+            r[name] = pack[sub, len(_PACK_ROWS_F) + j]
+        paph_k = pack[sub, _PACK_IDX_F["paph"]]
+        if sub < lps - 1:  # the k+1 row lives inside the current block
+            nxts = (pack[sub + 1, _PACK_IDX_F["pmf"]],
+                    pack[sub + 1, _PACK_IDX_F["plu"]])
+            paph_k1 = pack[sub + 1, _PACK_IDX_F["paph"]]
+        else:
+            nxts = (look[0, 0], look[0, 1])
+            paph_k1 = look[0, 2]
+        cols = (col[0], col[1] > 0.5, col[2].astype(jnp.int32), col[3])
+        return r, nxts, (paph_k, paph_k1), cols
     if packed:
         pack, nxt, paph_k, paph_k1, col = ins
         r = {name: pack[sub, _PACK_IDX[name]] for name in _IN_STREAMED}
@@ -123,15 +177,15 @@ def _unpack_inputs(ins, packed, aer, sub, lps):
         for j, name in enumerate(aer):
             r[name] = pack[sub, len(_PACK_ROWS) + j]
         if sub < lps - 1:  # the k+1 row lives inside the current block
-            nxts = tuple(
+            pmfu_n, pmfd_n, plu_n = (
                 pack[sub + 1, _PACK_IDX[n]] for n in _NEXT_FIELDS
             )
             paphs = (paph_k[sub], paph_k[sub + 1])
         else:
-            nxts = tuple(nxt[0, j] for j in range(3))
+            pmfu_n, pmfd_n, plu_n = (nxt[0, j] for j in range(3))
             paphs = (paph_k[sub], paph_k1[0])
         cols = (col[0], col[1] > 0.5, col[2].astype(jnp.int32), col[3])
-        return r, nxts, paphs, cols
+        return r, (pmfu_n + pmfd_n, plu_n), paphs, cols
     it = iter(ins)
     r = {name: next(it)[0] for name in _IN_STREAMED}
     r_pmfu_n, r_pmfd_n, r_plu_n = next(it), next(it), next(it)
@@ -144,15 +198,18 @@ def _unpack_inputs(ins, packed, aer, sub, lps):
         r[name] = next(it)[0]
     return (
         r,
-        (r_pmfu_n[0], r_pmfd_n[0], r_plu_n[0]),
+        (r_pmfu_n[0] + r_pmfd_n[0], r_plu_n[0]),
         (paph_k[0], paph_k1[0]),
         (r_plsm[...], r_ldcum[...] > 0, r_ktype[...], r_paph_surf[...]),
     )
 
 
-# row order in the packed per-level output buffer
+# row order in the packed per-level output buffer. The vapour-slot cloud
+# tendency (tcld4) is identically zero (ref: TENDENCY_LOC%CLD(:,:,NCLV) is
+# pre-zeroed and never written, cloudsc_driver_mod.F90:141-143) — it is
+# synthesized in _assemble instead of streaming a row of zeros per level.
 _OLEV_ROWS = ("plude", "pcovptot", "tend_t", "tend_q", "tend_a",
-              "tcld0", "tcld1", "tcld2", "tcld3", "tcld4")
+              "tcld0", "tcld1", "tcld2", "tcld3")
 # row order in the packed half-level flux buffer (matches CloudscOutputs)
 _OHALF_ROWS = ("pfsqlf", "pfsqif", "pfcqlng", "pfcqnng", "pfsqrf", "pfsqsf",
                "pfcqrng", "pfcqsng", "pfsqltur", "pfsqitur",
@@ -160,9 +217,11 @@ _OHALF_ROWS = ("pfsqlf", "pfsqif", "pfcqlng", "pfcqnng", "pfsqrf", "pfsqsf",
 _OH = {name: i for i, name in enumerate(_OHALF_ROWS)}
 
 
-def _kernel(c, nlev, ktop, packed, lps, mode, *refs):
+def _kernel(c, nlev, ktop, packed, lps, mode, fold, *refs):
     aer = _aer_rows(c)
-    nin = 5 if packed else len(_IN_STREAMED) + 3 + 2 + 2 + 4 + len(aer)
+    nin = (3 if fold else 5) if packed else (
+        len(_IN_STREAMED) + 3 + 2 + 2 + 4 + len(aer)
+    )
     ins, outs, scr = refs[:nin], refs[nin:-1], refs[-1]
 
     # outputs are always packed: one per-level buffer, one half-level flux
@@ -177,9 +236,11 @@ def _kernel(c, nlev, ktop, packed, lps, mode, *refs):
         # I/O volume, degenerate compute — the streaming-floor / section-1
         # probes used to attribute step time to DMA vs VPU
         for sub in range(lps):
-            raw, _, _, _ = _unpack_inputs(ins, packed, aer, sub, lps)
+            raw, _, _, _ = _unpack_inputs(ins, packed, aer, sub, lps, fold)
             if mode == "floor":
-                v = raw["pt"] + raw["pq"]
+                v = (raw["ztp1_in"] + raw["zqv_in"]) if fold else (
+                    raw["pt"] + raw["pq"]
+                )
             else:  # "init": section-1 compute only
                 ini = scheme.level_init(raw, c)
                 v = ini["ztp1"] + ini["zqsmix"] + ini["zfokoop"] + ini["zli"]
@@ -209,17 +270,19 @@ def _kernel(c, nlev, ktop, packed, lps, mode, *refs):
     def _cheap():
         for sub in range(lps):
             _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
-                       ins, o_lev, o_half, o_prainfrac, scr, aer, full=False)
+                       ins, o_lev, o_half, o_prainfrac, scr, aer, fold,
+                       full=False)
 
     @pl.when(jnp.logical_not(above_top))
     def _full():
         for sub in range(lps):
             _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
-                       ins, o_lev, o_half, o_prainfrac, scr, aer, full=True)
+                       ins, o_lev, o_half, o_prainfrac, scr, aer, fold,
+                       full=True)
 
 
 def _sub_level(c, nlev, ktop, packed, lps, sub, k,
-               ins, o_lev, o_half, o_prainfrac, scr, aer, full=True):
+               ins, o_lev, o_half, o_prainfrac, scr, aer, fold, full=True):
     zqtmst, ptsphy = c.zqtmst, c.ptsphy
 
     # ---- section 8 flux rows for half-level k (state BEFORE level k) ------
@@ -249,8 +312,9 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
 
     @pl.when(k < nlev)
     def _level():
-        raw, nxts, paphs, cols = _unpack_inputs(ins, packed, aer, sub, lps)
-        pmfu_n, pmfd_n, plu_n = nxts
+        raw, nxts, paphs, cols = _unpack_inputs(ins, packed, aer, sub, lps,
+                                                fold)
+        pmf_n, plu_n = nxts
         paph_k, paph_k1 = paphs
         plsm, ldcum_b, ktype_i, paph_surf = cols
 
@@ -284,10 +348,14 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
             ztp1_prev=scr[_S_ZTP1_PREV], za_prev=scr[_S_ZA_PREV],
             pap=raw["pap"], pap_prev=scr[_S_PAP_PREV],
             paph=paph_k, paph_next=paph_k1, paph_surf=paph_surf,
-            pmfu=raw["pmfu"], pmfd=raw["pmfd"],
-            pmfu_next=pmfu_n, pmfd_next=pmfd_n,
+            # the scheme consumes pmf = pmfu+pmfd and zhr = phrsw+phrlw only
+            # (level_step); folded packs stream the sums, legacy layouts sum
+            # here (bitwise-identical to the old in-scheme adds)
+            pmf=raw["pmf"] if fold else raw["pmfu"] + raw["pmfd"],
+            pmf_next=pmf_n,
             plu_next=plu_n,
-            pvervel=raw["pvervel"], phrsw=raw["phrsw"], phrlw=raw["phrlw"],
+            pvervel=raw["pvervel"],
+            zhr=raw["zhr"] if fold else raw["phrsw"] + raw["phrlw"],
             plude_in=raw["plude"], psnde=raw["psnde"], psupsat=raw["psupsat"],
             land=plsm > 0.5,
             ldcum=ldcum_b,
@@ -350,8 +418,7 @@ def _write_level_rows(c, o_lev, o_half, scr, sub, k, raw, ini, *, plude_row,
     o_lev[sub, 2] = tend_t_row
     o_lev[sub, 3] = tend_q_row
     o_lev[sub, 4] = tend_a_row
-    o_lev[sub, 5 + IV] = jnp.zeros_like(plude_row)
-    for m in (IL, II, IR, IS):
+    for m in (IL, II, IR, IS):  # vapour slot synthesized in _assemble
         o_lev[sub, 5 + m] = (zqxn_eff[m] - ini["zqx0"][m]) * zqtmst
 
     # previous-level state for the next step (ref: JK-1 reads)
@@ -405,7 +472,7 @@ def _lps_for(nlev: int) -> int:
 
 
 def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
-           packed=False, config=None, mode="full", lps_cap=None):
+           packed=False, config=None, mode="full", lps_cap=None, fold=False):
     c = scheme.derived_consts(params, ptsphy, dtype, config)
     ktop = c.NCLDTOP - 1
     SB = sublanes
@@ -451,7 +518,37 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         )
 
     aer = _aer_rows(c)
-    if packed:
+    if packed and fold:
+        # folded packed storage: ONE streamed array carries everything —
+        # the lps-level main block, a 3-row (pmf/plu/paph, rows 0-2) k+1
+        # lookahead block over the SAME array, and the resident per-column
+        # block. paph lives in the pack (its real nlev+1-th row doubles as
+        # the lps pad row). 2 input DMAs per grid step.
+        nrows = len(_PACK_ROWS_F) + len(aer)
+        look = lambda k: jnp.minimum(lps * (k + 1), nlev)
+        if mode == "resident":
+            in_specs = [
+                pl.BlockSpec((lps, nrows, SB, LANES),
+                             lambda i, k: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, SB, LANES),
+                             lambda i, k: (0, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, SB, LANES), lambda i, k: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            in_specs = [
+                pl.BlockSpec((lps, nrows, SB, LANES),
+                             lambda i, k: (k, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, SB, LANES),
+                             lambda i, k: (look(k), 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, SB, LANES), lambda i, k: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+    elif packed:
         # packed storage: ONE streamed block carries every per-level field of
         # lps levels (single DMA per step), one lookahead block for the k+1
         # reads of the last sub-level, one resident per-column block
@@ -530,7 +627,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         jax.ShapeDtypeStruct((nblk, LANES), f),
     ]
 
-    kernel = functools.partial(_kernel, c, nlev, ktop, packed, lps, mode)
+    kernel = functools.partial(_kernel, c, nlev, ktop, packed, lps, mode, fold)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -545,7 +642,67 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
     )
 
 
-def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
+def _folded_rows(get, ptsphy) -> dict:
+    """The folded per-level rows (name -> array) from a raw-field accessor
+    `get(NAME[, species])`. On the load path `get` returns fp64 file-width
+    arrays, so every fold is computed in fp64 and rounded ONCE by the later
+    working-precision cast — strictly at least as accurate as the in-kernel
+    working-precision arithmetic it replaces (ref: cloudsc.F90:662-682 for
+    the tendency accumulation; 1145/1288-1289 for the always-summed pairs)."""
+    return {
+        "pmf": get("PMFU") + get("PMFD"),
+        "plu": get("PLU"),
+        "paph": get("PAPH"),
+        "ztp1_in": get("PT") + ptsphy * get("TENDENCY_TMP_T"),
+        "zqv_in": get("PQ") + ptsphy * get("TENDENCY_TMP_Q"),
+        "za_in": get("PA") + ptsphy * get("TENDENCY_TMP_A"),
+        "pap": get("PAP"),
+        "pvervel": get("PVERVEL"),
+        "zhr": get("PHRSW") + get("PHRLW"),
+        "plude": get("PLUDE"),
+        "psnde": get("PSNDE"),
+        "psupsat": get("PSUPSAT"),
+        "pvfl": get("PVFL"),
+        "pvfi": get("PVFI"),
+        **{
+            f"zqx{m}_in": get("PCLV", m) + ptsphy * get("TENDENCY_TMP_CLD", m)
+            for m in range(4)
+        },
+    }
+
+
+def _pack_expand_numpy(rows, ncol, target, nlev_rows, grouped, dtype):
+    """NumPy mirror of cs_pack_expand{,_grouped}_f32 (any dtype): expand the
+    file-width rows to ncol columns, edge-pad to target, clamp each row's
+    level index to its own height — bit-identical to the native path (cast
+    from the same fp64 values), so folded packs are deterministic whether or
+    not the native library is available."""
+    import numpy as np
+
+    rows = [np.atleast_2d(np.asarray(r)) for r in rows]
+    klon = rows[0].shape[-1]
+    dt = np.dtype(dtype)
+    if grouped:
+        idx = np.empty(target, np.int64)
+        off = 0
+        for g in range(klon):
+            if off >= ncol:
+                break
+            cnt = (ncol - g + klon - 1) // klon
+            idx[off:off + cnt] = g
+            off += cnt
+        idx[ncol:] = min(klon, ncol) - 1
+    else:
+        idx = np.minimum(np.arange(target), ncol - 1) % klon
+    dst = np.empty((nlev_rows, len(rows), target), dt)
+    for r, a in enumerate(rows):
+        lev = np.minimum(np.arange(nlev_rows), a.shape[0] - 1)
+        dst[:, r, :] = a.astype(dt)[lev][:, idx]
+    return dst
+
+
+def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None,
+                ptsphy: float | None = None, fold: bool | None = None):
     """Build the packed-storage input pytree (pack, nxt, paph, col) +
     (nlev, ncol) — do this once outside the hot loop; cloudsc_pallas with
     packed inputs then issues a single input DMA per grid step. `params` and
@@ -555,7 +712,12 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
     Runs entirely on HOST (numpy) when the fields are numpy arrays — large
     benchmark sizes must not hold the field dict AND the pack on device
     simultaneously (that transient is what exhausted HBM above ~200K columns);
-    the caller device_puts the returned pytree once."""
+    the caller device_puts the returned pytree once.
+
+    fold=None reads CLOUDSC_FOLD_INPUTS; True builds the folded layout
+    (requires ptsphy). Here the fold runs in the FIELD dtype (the fields are
+    already cast/expanded); the load-time path (pack_inputs_raw) folds in
+    fp64 at file width instead — more accurate, and the production default."""
     import numpy as np
 
     pt = fields["pt"]
@@ -563,6 +725,37 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
     nlev, ncol = pt.shape
     shp, nblk, _ = _shaper(fields, sublanes, xp)
     dtype = pt.dtype
+    if fold is None:
+        fold = fold_enabled()
+    if fold:
+        if ptsphy is None:
+            raise ValueError("folded pack_inputs requires ptsphy")
+
+        def get(name, m=None):
+            a = fields[name.lower()]
+            if m is not None:
+                a = a[m]
+            return xp.asarray(a, dtype)
+
+        fr = _folded_rows(get, np.dtype(dtype).type(ptsphy))
+        rows = [fr[n] for n in _PACK_ROWS_F]
+        if params is not None:
+            c = scheme.derived_consts(params, 1.0, dtype, config)
+            rows += [xp.asarray(fields[n], dtype) for n in _aer_rows(c)]
+        # per-level rows get one edge-replicated pad row so the pack has
+        # nlev+1 rows; paph's nlev+1-th row is its real surface value
+        rows = [
+            r if r.shape[0] == nlev + 1 else xp.concatenate([r, r[-1:]], 0)
+            for r in rows
+        ]
+        pack = shp(xp.stack(rows, axis=1))
+        col = shp(xp.stack([
+            xp.asarray(fields["plsm"], dtype),
+            xp.asarray(fields["ldcum"], dtype),
+            xp.asarray(fields["ktype"], dtype),
+            xp.asarray(fields["paph"][nlev], dtype),
+        ]))
+        return dict(pack=pack, col=col), ncol
     rows = []
     for name in _PACK_ROWS:
         if name.startswith("pclv"):
@@ -600,7 +793,7 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None):
 
 def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
                     dtype=None, column_order: str = "cyclic",
-                    column_perm=None):
+                    column_perm=None, fold: bool | None = None):
     """Packed-storage pytree straight from an InputData — fused native path.
 
     Unlike `pack_inputs` (which consumes an already-expanded field dict),
@@ -628,6 +821,14 @@ def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
     grouped = column_order == "grouped"
     if column_perm is not None and not grouped:
         raise ValueError("column_perm requires column_order='grouped'")
+    if fold is None:
+        fold = fold_enabled()
+
+    if fold:
+        return _pack_inputs_raw_folded(
+            inp, sublanes, params, config,
+            jnp.float32 if dtype is None else dtype, grouped, column_perm,
+        )
 
     if dtype is not None and jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         fields = make_inputs(inp, dtype=dtype, host=True,
@@ -683,6 +884,56 @@ def pack_inputs_raw(inp, sublanes: int = 32, params=None, config=None,
     ), ncol
 
 
+def _pack_inputs_raw_folded(inp, sublanes, params, config, dtype, grouped,
+                            column_perm):
+    """Folded-layout pack straight from an InputData: the section-1 state
+    accumulation and the always-summed pairs are computed in fp64 at FILE
+    width (100 columns — microseconds), then the native packer (or its
+    bit-identical numpy mirror) fuses expand+cast+pack. One buffer out:
+    paph rides in the pack, no nxt/paph side buffers (see _PACK_ROWS_F)."""
+    import numpy as np
+
+    from ..native import pack_expand_native
+
+    f = inp.fields
+    ncol = inp.ngptot
+    nlev = inp.klev
+    tile = sublanes * LANES
+    target = -(-ncol // tile) * tile
+    nblk = target // LANES
+    dt = jnp.dtype(dtype)
+    aer = []
+    if params is not None:
+        c = scheme.derived_consts(params, 1.0, dt, config)
+        aer = _aer_rows(c)
+
+    def _p(a):
+        return a if column_perm is None else a[..., column_perm]
+
+    def get(name, m=None):
+        a = f[name] if m is None else f[name][m]
+        return _p(np.asarray(a, np.float64))
+
+    fr = _folded_rows(get, float(inp.ptsphy))
+    rows = [fr[n] for n in _PACK_ROWS_F] + [get(n.upper()) for n in aer]
+    col_rows = [get("PLSM"), get("LDCUM"), get("KTYPE"),
+                _p(np.asarray(f["PAPH"], np.float64)[nlev])]
+
+    use_native = dt == jnp.dtype(jnp.float32)
+    pack = (pack_expand_native(rows, ncol, target, nlev + 1, grouped=grouped)
+            if use_native else None)
+    if pack is None:
+        pack = _pack_expand_numpy(rows, ncol, target, nlev + 1, grouped, dt)
+    col = (pack_expand_native(col_rows, ncol, target, 1, grouped=grouped)
+           if use_native else None)
+    if col is None:
+        col = _pack_expand_numpy(col_rows, ncol, target, 1, grouped, dt)
+    return dict(
+        pack=pack.reshape(pack.shape[0], pack.shape[1], nblk, LANES),
+        col=col.reshape(4, nblk, LANES),
+    ), ncol
+
+
 def _shaper(fields: dict, sublanes: int, xp=jnp):
     """(shp fn, nblk, target): pad columns to the tile and fold to lanes."""
     ncol = fields["pt"].shape[-1]
@@ -714,22 +965,34 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
     """
     if packed is not False:
         if packed is True:
-            p, ncol = pack_inputs(fields, sublanes, params, config)
+            p, ncol = pack_inputs(fields, sublanes, params, config,
+                                  ptsphy=ptsphy)
         else:
             p, ncol = packed, ncol_packed
-        nlev = p["paph"].shape[0] - 1  # paph always has nlev+1 rows
+        # layout discriminator: the folded pack carries paph inside itself
+        # and needs no nxt side buffer (_PACK_ROWS_F)
+        fold = "nxt" not in p
         nblk = p["pack"].shape[2]
         dtype = p["pack"].dtype
         target = nblk * LANES
         if ncol is None:
             ncol = target
-        # an UNPADDED pack (built while CLOUDSC_PALLAS_LPS was 1) cannot feed
-        # a multi-level-per-step kernel: infer the pad from the buffer itself
-        # rather than trusting the env var to be unchanged since pack time
-        lps_cap = None if p["pack"].shape[0] > nlev else 1
-        args = [p["pack"], p["nxt"], p["paph"], p["paph"], p["col"]]
+        if fold:
+            nlev = p["pack"].shape[0] - 1  # folded packs always have nlev+1
+            lps_cap = None
+            # the k+1 lookahead is a second (3-row) ref over the SAME array
+            args = [p["pack"], p["pack"], p["col"]]
+        else:
+            nlev = p["paph"].shape[0] - 1  # paph always has nlev+1 rows
+            # an UNPADDED pack (built while CLOUDSC_PALLAS_LPS was 1) cannot
+            # feed a multi-level-per-step kernel: infer the pad from the
+            # buffer itself rather than trusting the env var to be unchanged
+            # since pack time
+            lps_cap = None if p["pack"].shape[0] > nlev else 1
+            args = [p["pack"], p["nxt"], p["paph"], p["paph"], p["col"]]
         call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
-                      packed=True, config=config, mode=_mode, lps_cap=lps_cap)
+                      packed=True, config=config, mode=_mode, lps_cap=lps_cap,
+                      fold=fold)
         res = call(*args)
         return _assemble(res, nblk, ncol, target)
 
@@ -773,7 +1036,10 @@ def _assemble(res, nblk, ncol, target) -> CloudscOutputs:
 
     lev = {name: unshp(o_lev[:, j]) for j, name in enumerate(_OLEV_ROWS)}
     half = {name: unshp(o_half[:, j]) for j, name in enumerate(_OHALF_ROWS)}
-    tcld = jnp.stack([lev[f"tcld{m}"] for m in range(NCLV)])
+    # the vapour-slot cloud tendency is identically zero (never written in
+    # the reference either) — synthesized here instead of streamed
+    tcld = jnp.stack([lev[f"tcld{m}"] for m in range(4)]
+                     + [jnp.zeros_like(lev["tcld0"])])
 
     return CloudscOutputs(
         plude=lev["plude"], pcovptot=lev["pcovptot"],

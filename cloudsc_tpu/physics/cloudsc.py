@@ -57,7 +57,8 @@ class CloudscOutputs(NamedTuple):
 
 
 def make_inputs(inp, dtype=jnp.float64, host: bool = False,
-                column_order: str = "cyclic", column_perm=None) -> dict:
+                column_order: str = "cyclic", column_perm=None,
+                fold: bool = False) -> dict:
     """Convert a loaded InputData into the field dict cloudsc() consumes.
 
     host=True keeps the arrays in numpy (no device transfer) — used by the
@@ -70,7 +71,16 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
     expand writes half the bytes of expand-then-cast). column_order selects
     the expansion layout (data.expand.expand_field): "grouped" is the
     activity-grouped permutation the packed Pallas path uses; column_perm
-    (grouped only) pre-permutes the source columns (activity sorting)."""
+    (grouped only) pre-permutes the source columns (activity sorting).
+
+    fold=True emits the FOLDED input contract instead (the load-time input
+    transformation of the packed fast path, kernels/pallas_cloudsc
+    _PACK_ROWS_F): the section-1 state accumulation and the always-summed
+    pairs are computed in fp64 at file width, then cast — bitwise the same
+    values the folded pack streams, so a folded scan run is the oracle for
+    the folded kernel. Folded dicts replace pt/pq/pa/pclv/tendency_tmp_*
+    with ztp1_in/zqv_in/za_in/zqx_cld_in and pmfu+pmfd / phrsw+phrlw with
+    pmf / zhr."""
     import numpy as np
 
     from ..data.expand import expand_field
@@ -82,7 +92,7 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
     ngptot = inp.ngptot
 
     def cast(name, to=None):
-        a = np.asarray(f[name])
+        a = np.asarray(f[name]) if isinstance(name, str) else name
         to = np.dtype(to if to is not None else np.dtype(dtype))
         if a.dtype != to:
             a = a.astype(to)
@@ -91,6 +101,37 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
                 a = a[..., column_perm]
             a = expand_field(a, ngptot, order=column_order)
         return a if host else jnp.asarray(a)
+
+    if fold:
+        dt64 = float(inp.ptsphy)
+
+        def f64(name):
+            return np.asarray(f[name], np.float64)
+
+        folded = {
+            "ztp1_in": cast(f64("PT") + dt64 * f64("TENDENCY_TMP_T")),
+            "zqv_in": cast(f64("PQ") + dt64 * f64("TENDENCY_TMP_Q")),
+            "za_in": cast(f64("PA") + dt64 * f64("TENDENCY_TMP_A")),
+            "zqx_cld_in": cast(
+                f64("PCLV")[:4] + dt64 * f64("TENDENCY_TMP_CLD")[:4]
+            ),
+            "pmf": cast(f64("PMFU") + f64("PMFD")),
+            "zhr": cast(f64("PHRSW") + f64("PHRLW")),
+        }
+        rest = {
+            k: cast(n) for k, n in (
+                ("pvfl", "PVFL"), ("pvfi", "PVFI"),
+                ("pvervel", "PVERVEL"), ("pap", "PAP"), ("paph", "PAPH"),
+                ("plsm", "PLSM"),
+                ("plu", "PLU"), ("plude", "PLUDE"), ("psnde", "PSNDE"),
+                ("psupsat", "PSUPSAT"),
+                ("plcrit_aer", "PLCRIT_AER"), ("picrit_aer", "PICRIT_AER"),
+                ("pre_ice", "PRE_ICE"), ("pccn", "PCCN"), ("pnice", "PNICE"),
+            )
+        }
+        rest["ldcum"] = cast("LDCUM", to=bool)
+        rest["ktype"] = cast("KTYPE", to="int32")
+        return {**folded, **rest}
 
     return {
         "pt": cast("PT"), "pq": cast("PQ"),
@@ -118,7 +159,8 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
     `jax.jit(lambda f: cloudsc(f, params, ptsphy))`. `config` selects the
     scheme versions (scheme.SchemeConfig; reference defaults when None).
     """
-    pt = fields["pt"]
+    folded = "ztp1_in" in fields  # make_inputs(fold=True) contract
+    pt = fields["ztp1_in"] if folded else fields["pt"]
     dtype = pt.dtype
     nlev, ncol = pt.shape
     c = scheme.derived_consts(params, ptsphy, dtype, config)
@@ -130,14 +172,22 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
     # ==================================================================
     # 1. INITIAL VALUES (ref: 654-808) — level_init batched over (lev, col)
     # ==================================================================
-    raw = dict(
-        pt=pt, pq=fields["pq"], pa=fields["pa"], pap=fields["pap"],
-        tendency_tmp_t=fields["tendency_tmp_t"],
-        tendency_tmp_q=fields["tendency_tmp_q"],
-        tendency_tmp_a=fields["tendency_tmp_a"],
-        pclv=[fields["pclv"][m] for m in range(4)],
-        tendency_tmp_cld=[fields["tendency_tmp_cld"][m] for m in range(4)],
-    )
+    if folded:
+        raw = dict(
+            ztp1_in=fields["ztp1_in"], zqv_in=fields["zqv_in"],
+            za_in=fields["za_in"],
+            zqx_cld_in=[fields["zqx_cld_in"][m] for m in range(4)],
+            pap=fields["pap"],
+        )
+    else:
+        raw = dict(
+            pt=pt, pq=fields["pq"], pa=fields["pa"], pap=fields["pap"],
+            tendency_tmp_t=fields["tendency_tmp_t"],
+            tendency_tmp_q=fields["tendency_tmp_q"],
+            tendency_tmp_a=fields["tendency_tmp_a"],
+            pclv=[fields["pclv"][m] for m in range(4)],
+            tendency_tmp_cld=[fields["tendency_tmp_cld"][m] for m in range(4)],
+        )
     ini = scheme.level_init(raw, c)
     zqx0 = ini["zqx0"]
     zlneg = ini["zlneg"]
@@ -183,9 +233,12 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
         zfoeeliq=ini["zfoeeliq"], zfoeeice=ini["zfoeeice"],
         zfokoop=ini["zfokoop"],
         pap=pap, paph=paph,
-        pmfu=fields["pmfu"], pmfd=fields["pmfd"],
-        pvervel=fields["pvervel"], phrsw=fields["phrsw"],
-        phrlw=fields["phrlw"],
+        # the scheme only ever consumes these summed (scheme.level_step) —
+        # hoisting the adds here is bitwise-neutral (same IEEE adds, once);
+        # folded inputs carry the load-time fp64 sums instead
+        pmf=fields["pmf"] if folded else fields["pmfu"] + fields["pmfd"],
+        zhr=fields["zhr"] if folded else fields["phrsw"] + fields["phrlw"],
+        pvervel=fields["pvervel"],
         plude_in=fields["plude"], plu=fields["plu"], psnde=fields["psnde"],
         psupsat=fields["psupsat"],
         tend_t_pre=tend_t_full, tend_q_pre=tend_q_full,
@@ -216,10 +269,8 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
             "zfokoop": row("zfokoop"),
             "pap": row("pap"), "pap_prev": row("pap", -1),
             "paph": row("paph"), "paph_next": row("paph", 1),
-            "pmfu": row("pmfu"), "pmfd": row("pmfd"),
-            "pmfu_next": row("pmfu", 1), "pmfd_next": row("pmfd", 1),
-            "pvervel": row("pvervel"),
-            "phrsw": row("phrsw"), "phrlw": row("phrlw"),
+            "pmf": row("pmf"), "pmf_next": row("pmf", 1),
+            "pvervel": row("pvervel"), "zhr": row("zhr"),
             "plude_in": row("plude_in"), "plu_next": row("plu", 1),
             "psnde": row("psnde"), "psupsat": row("psupsat"),
             "tend_t_pre": row("tend_t_pre"), "tend_q_pre": row("tend_q_pre"),
@@ -257,7 +308,7 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
     # bench/lab11_grouped.log [4e]) and CPU fp64 (+16%), loses on CPU fp32
     # (−12%) — default per (platform, dtype); CLOUDSC_SCAN_UNROLL overrides.
     on_cpu = jax.default_backend() == "cpu"
-    fp64 = fields["pt"].dtype == jnp.float64
+    fp64 = dtype == jnp.float64
     unroll = int(os.environ.get(
         "CLOUDSC_SCAN_UNROLL", "1" if (on_cpu and not fp64) else "4"
     ))

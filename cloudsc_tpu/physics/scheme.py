@@ -204,18 +204,33 @@ def level_init(raw: dict, c) -> dict:
     pclv (list of the 4 condensates), tendency_tmp_cld (list of 4). Returns
     every derived per-level quantity the level step consumes, plus the
     section-1 tendency/clipping bookkeeping (zlneg, zqx0).
+
+    Folded-input mode: when `raw` carries "ztp1_in" the tendency_tmp
+    accumulation (ref: 662-682) was already performed at LOAD time — in fp64
+    at file width, before the working-precision cast, so the folded values
+    are the single-rounding versions of the sums below (the packed-storage
+    fast path streams 9 fewer rows per level this way; the raw fields are
+    never read anywhere else in the scheme).
     """
     cst, thf, e = c.cst, c.thf, c.e
     zqtmst, RETV = c.zqtmst, c.RETV
     RALVDCP, RALSDCP = c.RALVDCP, c.RALSDCP
 
-    ztp1 = raw["pt"] + c.ptsphy * raw["tendency_tmp_t"]
-    zqx = [None] * NCLV
-    zqx[IV] = raw["pq"] + c.ptsphy * raw["tendency_tmp_q"]
-    for m in (IL, II, IR, IS):
-        zqx[m] = raw["pclv"][m] + c.ptsphy * raw["tendency_tmp_cld"][m]
+    if "ztp1_in" in raw:
+        ztp1 = raw["ztp1_in"]
+        zqx = [None] * NCLV
+        zqx[IV] = raw["zqv_in"]
+        for m in (IL, II, IR, IS):
+            zqx[m] = raw["zqx_cld_in"][m]
+        za = raw["za_in"]
+    else:
+        ztp1 = raw["pt"] + c.ptsphy * raw["tendency_tmp_t"]
+        zqx = [None] * NCLV
+        zqx[IV] = raw["pq"] + c.ptsphy * raw["tendency_tmp_q"]
+        for m in (IL, II, IR, IS):
+            zqx[m] = raw["pclv"][m] + c.ptsphy * raw["tendency_tmp_cld"][m]
+        za = raw["pa"] + c.ptsphy * raw["tendency_tmp_a"]
     zqx0 = list(zqx)
-    za = raw["pa"] + c.ptsphy * raw["tendency_tmp_a"]
     zaorig = za
 
     zero = jnp.zeros_like(ztp1)
@@ -447,7 +462,10 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         )
 
     # ---- 3.3 subsidence source + in-layer evaporation (ref: 1143-1194)
-    zmf = jnp.maximum(0.0, (x["pmfu"] + x["pmfd"]) * zdtgdp)
+    # x["pmf"] = PMFU + PMFD: the mass fluxes are only ever consumed summed
+    # (ref: 1145, 1203, 1288), so the sum is hoisted to the caller — and, on
+    # the folded packed path, all the way to load time (one streamed row)
+    zmf = jnp.maximum(0.0, x["pmf"] * zdtgdp)
     zacust = zmf * carry["zanewm1"]
     zlcust = [None] * NCLV
     if "s33" not in c.skip:
@@ -472,7 +490,7 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     # subsidence sink to layer below (ref: 1201-1217)
     zmfdn = madd(
         not_last,
-        jnp.maximum(0.0, (x["pmfu_next"] + x["pmfd_next"]) * zdtgdp),
+        jnp.maximum(0.0, x["pmf_next"] * zdtgdp),
     )
     if probe_hook is not None:
         probe_hook("s33", (not_first & (zmf > 0.0)) | (zmfdn > 0.0))
@@ -506,10 +524,13 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
     # ---- 3.4b condensation/evaporation from dqsat/dt (ref: 1281-1325)
     zdtdp = zrdcp * ztp1 / pap
     zdpmxdt = zdp * zqtmst
-    zmfdn2 = madd(not_last, x["pmfu_next"] + x["pmfd_next"])
-    zwtot = x["pvervel"] + 0.5 * RG * (x["pmfu"] + x["pmfd"] + zmfdn2)
+    zmfdn2 = madd(not_last, x["pmf_next"])
+    # (pmfu+pmfd)+zmfdn2 associates left-to-right in the Fortran (ref: 1288),
+    # so consuming the pre-summed pmf preserves the op order exactly
+    zwtot = x["pvervel"] + 0.5 * RG * (x["pmf"] + zmfdn2)
     zwtot = jnp.minimum(zdpmxdt, jnp.maximum(-zdpmxdt, zwtot))
-    zzzdt = x["phrsw"] + x["phrlw"]
+    # x["zhr"] = PHRSW + PHRLW (ref: 1289 — only ever consumed summed)
+    zzzdt = x["zhr"]
     zdtdiab = (
         jnp.minimum(zdpmxdt * zdtdp, jnp.maximum(-zdpmxdt * zdtdp, zzzdt))
         * ptsphy

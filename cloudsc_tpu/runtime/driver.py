@@ -72,6 +72,13 @@ class CloudscDriver:
             self.backend == "pallas"
             and os.environ.get("CLOUDSC_PACKED_STORAGE", "1") != "0"
         )
+        # folded packed layout (CLOUDSC_FOLD_INPUTS): the section-1 state
+        # accumulation + always-summed input pairs fold at load time (fp64,
+        # file width), cutting the kernel's streamed input rows ~1/3
+        # (kernels/pallas_cloudsc._PACK_ROWS_F)
+        from ..kernels.pallas_cloudsc import fold_enabled
+
+        self.folded = self.packed and fold_enabled()
         # activity-grouped column layout (default on, CLOUDSC_GROUP_COLUMNS=0
         # reverts): expand each snapshot column's copies contiguously so the
         # kernel's column tiles are homogeneous and the value-exact per-tile
@@ -205,7 +212,7 @@ class CloudscDriver:
             packed, _ = pack_inputs_raw(
                 inp, gran, self.params, self.scheme_config, dtype=self.dtype,
                 column_order="grouped" if self.grouped else "cyclic",
-                column_perm=self._group_perm,
+                column_perm=self._group_perm, fold=self.folded,
             )
             return packed, ncol
         fields = make_inputs(inp, dtype=self.dtype)

@@ -60,7 +60,10 @@ def main() -> int:
         {k: jnp.asarray(v, jnp.float32) for k, v in ref.items()}, driver.mesh
     )
     norms = np.asarray(device_field_norms(out, ref_dev))
-    validate_from_norms(norms, ngptot, print_table=True)
+    # flag against the run's WORKING precision (this driver runs fp32), like
+    # the reference's SINGLE build (ref: validate_mod.F90:270)
+    validate_from_norms(norms, ngptot, print_table=True,
+                        work_eps=float(np.finfo(driver.dtype).eps))
     return 0
 
 
