@@ -132,9 +132,11 @@ _PACK_ROWS_F = [
 ]
 _PACK_IDX_F = {name: i for i, name in enumerate(_PACK_ROWS_F)}
 
-# default OFF until measured on device (the round-2 lesson: never ship an
-# unmeasured default) — the TPU session A/Bs it and flips this constant
-FOLD_DEFAULT = "0"
+# default ON — measured on device (bench/lab14_fold.log, within-session
+# interleaved A/B): bench.py 16.5-17.2 M (fold=0) vs 18.0-18.2 M (fold=1),
+# kernel_lab full 9.84->8.95 and reverse-order 9.20->8.30 ms, floor
+# 7.29->6.01 ms (-17.5%, matching the -20% byte count)
+FOLD_DEFAULT = "1"
 
 
 def fold_enabled() -> bool:
@@ -714,10 +716,13 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None,
     simultaneously (that transient is what exhausted HBM above ~200K columns);
     the caller device_puts the returned pytree once.
 
-    fold=None reads CLOUDSC_FOLD_INPUTS; True builds the folded layout
-    (requires ptsphy). Here the fold runs in the FIELD dtype (the fields are
-    already cast/expanded); the load-time path (pack_inputs_raw) folds in
-    fp64 at file width instead — more accurate, and the production default."""
+    fold=True builds the folded layout (requires ptsphy); the default is
+    UNFOLDED regardless of CLOUDSC_FOLD_INPUTS — this field-dict entry point
+    is the compatibility/test surface, and silently changing its layout under
+    an env var would break callers comparing against unfolded oracles. The
+    production load path (pack_inputs_raw, used by the driver) reads the env
+    default and folds in fp64 at file width — more accurate than the field-
+    dtype fold done here."""
     import numpy as np
 
     pt = fields["pt"]
@@ -726,7 +731,7 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None,
     shp, nblk, _ = _shaper(fields, sublanes, xp)
     dtype = pt.dtype
     if fold is None:
-        fold = fold_enabled()
+        fold = False
     if fold:
         if ptsphy is None:
             raise ValueError("folded pack_inputs requires ptsphy")

@@ -206,6 +206,27 @@ def test_folded_grouped_bitwise_equal_cyclic(inp_params):
         )
 
 
+@pytest.mark.parametrize("nlev", [68, 91])
+def test_folded_at_truncated_level_counts(inp_params, nlev):
+    """Folded layout at non-L137 level counts: the nlev+1-row pack and
+    paph-in-pack must hold under other lps blockings (69 = 3x23 -> lps 3,
+    92 = 4x23 -> lps 2)."""
+    from test_level_generality import _truncated
+
+    inp, params = inp_params
+    tr = _truncated(inp, nlev)
+    ref = jax.jit(lambda f: cloudsc(f, params, tr.ptsphy))(
+        make_inputs(tr, dtype=jnp.float32, fold=True)
+    )
+    p, ncol = pack_inputs_raw(tr, sublanes=4, params=params,
+                              dtype=jnp.float32, fold=True)
+    out = cloudsc_pallas(None, params, tr.ptsphy, sublanes=4,
+                         interpret=True, packed=jax.device_put(p),
+                         ncol_packed=ncol)
+    assert out.pfplsl.shape == (nlev + 1, ncol)
+    _compare(ref, out, rtol=2e-5)
+
+
 def test_pack_inputs_folded_from_fields(inp_params):
     """The expanded-field-dict fold (pack_inputs) folds in the FIELD dtype;
     its oracle is the scan on the same fp32-folded values (built with the
