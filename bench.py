@@ -158,6 +158,14 @@ def _measure(backend: str, on_tpu: bool) -> dict:
         fields = sharder(fields, driver.mesh)
     else:
         fields = jax.device_put(fields)
+        if getattr(driver, "tile_major", False):
+            # one-time on-device relayout, outside the timed loop (layout
+            # prep like the grouped permutation; CLOUDSC_TILE_MAJOR)
+            from cloudsc_tpu.kernels.pallas_cloudsc import pack_to_tile_major
+
+            fields = jax.jit(
+                lambda p: pack_to_tile_major(p, driver.sublanes)
+            )(fields)
     jax.block_until_ready(fields)
 
     # iterations chained in one dispatch with a zero-scaled data dependency
@@ -178,6 +186,8 @@ def _measure(backend: str, on_tpu: bool) -> dict:
     layout = "grouped" if driver.grouped else "cyclic"
     if getattr(driver, "folded", False):
         layout += "+fold"
+    if getattr(driver, "tile_major", False):
+        layout += "+tm"
     return {
         "metric": f"columns/s per chip ({ngptot // 1024}K cols x 137 lev, "
                   f"fp32, {driver.backend} backend{mesh_note})"
@@ -289,9 +299,12 @@ def main() -> int:
     # fallback that the outage skip line cites. A knob explicitly set to its
     # default VALUE still counts as the default configuration (advisor r3).
     try:
-        from cloudsc_tpu.kernels.pallas_cloudsc import FOLD_DEFAULT
+        from cloudsc_tpu.kernels.pallas_cloudsc import (
+            FOLD_DEFAULT,
+            TILE_MAJOR_DEFAULT,
+        )
     except Exception:
-        FOLD_DEFAULT = "0"
+        FOLD_DEFAULT, TILE_MAJOR_DEFAULT = "0", "0"
     knob_defaults = {
         "CLOUDSC_BENCH_BACKEND": "auto",
         "CLOUDSC_BENCH_NGPTOT": "163840",
@@ -302,6 +315,7 @@ def main() -> int:
         "CLOUDSC_SCHEME_SKIP": "",
         "CLOUDSC_S521_ROUND_SKIP": "0",
         "CLOUDSC_FOLD_INPUTS": FOLD_DEFAULT,
+        "CLOUDSC_TILE_MAJOR": TILE_MAJOR_DEFAULT,
     }
     default_config = all(
         os.environ.get(k, d) == d for k, d in knob_defaults.items()

@@ -70,6 +70,12 @@ def main() -> int:
                         "CLOUDSC_FOLD_INPUTS env default). Folding removes "
                         "~1/3 of the streamed input rows — A/B it "
                         "interleaved within one session")
+    p.add_argument("--tilem", type=int, nargs="+", default=[0],
+                   help="tile-major relayout(s) to sweep (0/1, folded packs "
+                        "only): each grid step's DMA becomes one contiguous "
+                        "run instead of lps*nrows 16 kB runs "
+                        "(pack_to_tile_major; bench/dma_probe.py measures "
+                        "the synthetic ceiling)")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--out", default=None)
     a = p.parse_args()
@@ -95,9 +101,10 @@ def main() -> int:
         params = Params.from_input(inp)
         from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs_raw
 
-        for sb, lps, order, fold in ((s, l, o, fl) for s in a.sb
-                                     for l in a.lps for o in a.order
-                                     for fl in a.fold):
+        for sb, lps, order, fold, tilem in (
+            (s, l, o, fl, tm) for s in a.sb for l in a.lps for o in a.order
+            for fl in a.fold for tm in a.tilem
+        ):
             # lps must be pinned BEFORE packing: the pad-row decision at pack
             # time (_lps_for) has to agree with the kernel's level blocking
             os.environ["CLOUDSC_PALLAS_LPS"] = str(lps)
@@ -116,6 +123,18 @@ def main() -> int:
                 fold=None if fold < 0 else bool(fold),
             )
             packed = jax.device_put(packed)
+            if tilem:
+                if "nxt" in packed:
+                    print(f"# tilem=1 requires the folded pack, skipping "
+                          f"(fold={fold})", flush=True)
+                    continue
+                from cloudsc_tpu.kernels.pallas_cloudsc import (
+                    pack_to_tile_major,
+                )
+
+                packed = jax.jit(
+                    lambda p: pack_to_tile_major(p, sb)
+                )(packed)
             jax.block_until_ready(packed)
             for mode, skip in ((m, s) for m in a.modes for s in a.skip):
                 cfg = SchemeConfig(
@@ -158,7 +177,7 @@ def main() -> int:
                 cols_s = ncol / per_iter
                 rec = dict(ngptot=ngptot, sb=sb, lps=lps, mode=mode,
                            order=order, skip=skip,
-                           fold=("nxt" not in packed),
+                           fold=("nxt" not in packed), tilem=bool(tilem),
                            ms_per_step=round(per_iter * 1e3, 3),
                            cols_per_s=round(cols_s, 0),
                            compile_s=round(compile_s, 1))

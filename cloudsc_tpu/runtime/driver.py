@@ -76,9 +76,16 @@ class CloudscDriver:
         # accumulation + always-summed input pairs fold at load time (fp64,
         # file width), cutting the kernel's streamed input rows ~1/3
         # (kernels/pallas_cloudsc._PACK_ROWS_F)
-        from ..kernels.pallas_cloudsc import fold_enabled
+        from ..kernels.pallas_cloudsc import fold_enabled, tile_major_enabled
 
         self.folded = self.packed and fold_enabled()
+        # tile-major relayout of the folded pack (CLOUDSC_TILE_MAJOR): each
+        # grid step's DMA is one contiguous run instead of lps*nrows 16 kB
+        # runs — applied on device after h2d, single-process only (the mesh
+        # path shards the standard layout)
+        self.tile_major = (
+            self.folded and self.mesh is None and tile_major_enabled()
+        )
         # activity-grouped column layout (default on, CLOUDSC_GROUP_COLUMNS=0
         # reverts): expand each snapshot column's copies contiguously so the
         # kernel's column tiles are homogeneous and the value-exact per-tile
@@ -304,6 +311,15 @@ class CloudscDriver:
             fields = shard_fields(fields, self.mesh)
         else:
             fields = jax.device_put(fields)
+            if self.tile_major:
+                # one-time on-device relayout (layout prep outside the hot
+                # loop, exactly like the grouped-column permutation): each
+                # grid step's DMA becomes one contiguous run
+                from ..kernels.pallas_cloudsc import pack_to_tile_major
+
+                fields = jax.jit(
+                    lambda p: pack_to_tile_major(p, self.sublanes)
+                )(fields)
         jax.block_until_ready(fields)
         timings.h2d_s = time.perf_counter() - t0
 

@@ -85,7 +85,11 @@ def test_pack_inputs_raw_matches_numpy_pipeline():
         raw = load_input(REFERENCE_DATA, ngptot=ng, expand=False)
         exp = load_input(REFERENCE_DATA, ngptot=ng)
         params = Params.from_input(raw)
-        p_nat, ncol = pack_inputs_raw(raw, 32, params)
+        # pin the UNFOLDED layout: this test is the native-vs-numpy bitwise
+        # check for the legacy pack (pack_inputs deliberately defaults
+        # unfolded regardless of CLOUDSC_FOLD_INPUTS; the folded native pack
+        # has its own mirror test in test_fold_inputs.py)
+        p_nat, ncol = pack_inputs_raw(raw, 32, params, fold=False)
         fields = make_inputs(exp, dtype=jnp.float32, host=True)
         p_ref, ncol2 = pack_inputs(fields, 32, params)
         assert ncol == ncol2 == ng
