@@ -188,6 +188,12 @@ def _measure(backend: str, on_tpu: bool) -> dict:
         layout += "+fold"
     if getattr(driver, "tile_major", False):
         layout += "+tm"
+    try:
+        from cloudsc_tpu.kernels.pallas_cloudsc import fold_outputs_enabled
+        if driver.backend == "pallas" and fold_outputs_enabled():
+            layout += "+foldo"
+    except Exception:
+        pass
     return {
         "metric": f"columns/s per chip ({ngptot // 1024}K cols x 137 lev, "
                   f"fp32, {driver.backend} backend{mesh_note})"
@@ -301,10 +307,11 @@ def main() -> int:
     try:
         from cloudsc_tpu.kernels.pallas_cloudsc import (
             FOLD_DEFAULT,
+            FOLD_OUTPUTS_DEFAULT,
             TILE_MAJOR_DEFAULT,
         )
     except Exception:
-        FOLD_DEFAULT, TILE_MAJOR_DEFAULT = "0", "0"
+        FOLD_DEFAULT, FOLD_OUTPUTS_DEFAULT, TILE_MAJOR_DEFAULT = "0", "0", "0"
     knob_defaults = {
         "CLOUDSC_BENCH_BACKEND": "auto",
         "CLOUDSC_BENCH_NGPTOT": "163840",
@@ -316,6 +323,7 @@ def main() -> int:
         "CLOUDSC_S521_ROUND_SKIP": "0",
         "CLOUDSC_FOLD_INPUTS": FOLD_DEFAULT,
         "CLOUDSC_TILE_MAJOR": TILE_MAJOR_DEFAULT,
+        "CLOUDSC_FOLD_OUTPUTS": FOLD_OUTPUTS_DEFAULT,
     }
     default_config = all(
         os.environ.get(k, d) == d for k, d in knob_defaults.items()

@@ -76,6 +76,11 @@ def main() -> int:
                         "run instead of lps*nrows 16 kB runs "
                         "(pack_to_tile_major; bench/dma_probe.py measures "
                         "the synthetic ceiling)")
+    p.add_argument("--foldo", type=int, nargs="+", default=[-1],
+                   help="folded OUTPUT rows to sweep (0/1; -1 = the "
+                        "CLOUDSC_FOLD_OUTPUTS env default): drop the 4 "
+                        "derivable half-level flux rows from the streamed "
+                        "outputs, synthesize them in _assemble (bitwise)")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--out", default=None)
     a = p.parse_args()
@@ -101,9 +106,10 @@ def main() -> int:
         params = Params.from_input(inp)
         from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs_raw
 
-        for sb, lps, order, fold, tilem in (
-            (s, l, o, fl, tm) for s in a.sb for l in a.lps for o in a.order
-            for fl in a.fold for tm in a.tilem
+        for sb, lps, order, fold, tilem, foldo in (
+            (s, l, o, fl, tm, fo) for s in a.sb for l in a.lps
+            for o in a.order for fl in a.fold for tm in a.tilem
+            for fo in a.foldo
         ):
             # lps must be pinned BEFORE packing: the pad-row decision at pack
             # time (_lps_for) has to agree with the kernel's level blocking
@@ -146,6 +152,7 @@ def main() -> int:
                         None, params, inp.ptsphy, sublanes=sb,
                         packed=p, ncol_packed=ncol, _mode=mode,
                         config=cfg,
+                        fold_outputs=None if foldo < 0 else bool(foldo),
                     )
 
                 def body(_, fs):
@@ -178,6 +185,7 @@ def main() -> int:
                 rec = dict(ngptot=ngptot, sb=sb, lps=lps, mode=mode,
                            order=order, skip=skip,
                            fold=("nxt" not in packed), tilem=bool(tilem),
+                           foldo=foldo,
                            ms_per_step=round(per_iter * 1e3, 3),
                            cols_per_s=round(cols_s, 0),
                            compile_s=round(compile_s, 1))

