@@ -185,7 +185,10 @@ def tile_major_enabled() -> bool:
 # rounding) — measured <=5.7e-14 absolute (tests/test_fold_outputs.py).
 # Streamed output rows/level drop 23 -> 19 (~9% of the HBM stream at lps=3).
 # ---------------------------------------------------------------------------
-FOLD_OUTPUTS_DEFAULT = "0"  # flip only after an on-device interleaved A/B
+# default ON — measured on device (bench/lab16_foldo.log, interleaved A/Bs):
+# floor 5.43/5.74 -> 4.83/5.12 ms (-11%), full 8.91/8.89 -> 8.60/8.76 ms,
+# bench.py 18.29-18.52 M (off) vs 18.86-19.38 M (on)
+FOLD_OUTPUTS_DEFAULT = "1"
 
 
 def fold_outputs_enabled() -> bool:
