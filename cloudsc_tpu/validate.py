@@ -76,6 +76,16 @@ class FieldErrors:
 
     @property
     def flagged(self) -> bool:
+        # a NaN/Inf anywhere in the stats is the worst possible mismatch —
+        # flag it (NaN would otherwise compare False and slip through); the
+        # reference's Fortran prints non-finite values and relies on the
+        # same > comparison, which silently UNflags NaN — we deviate here
+        # on purpose: the table must scream exactly when physics produced
+        # non-finite output (ref: validate_mod.F90:287-290)
+        import math
+
+        if not all(map(math.isfinite, (self.maxerr, self.errsum, self.refsum))):
+            return True
         return self.relerr > 10.0 * self.eps
 
 
@@ -117,10 +127,20 @@ def field_errors(name: str, field, ref, ngptotg: int | None = None) -> FieldErro
 
 
 def _e20_13(x: float) -> str:
-    """Fortran E20.13 formatting: 0.XXXXXXXXXXXXXE+ee in a 20-char field."""
+    """Fortran E20.13 formatting: 0.XXXXXXXXXXXXXE+ee in a 20-char field.
+
+    Non-finite values print like gfortran's E edit descriptor ("NaN",
+    "Infinity", "-Infinity" right-justified) instead of raising — a
+    NaN-producing regression must still render the validation table
+    (ref: validate_mod.F90:292-294 prints whatever the norms are)."""
+    import math
+
+    if math.isnan(x):
+        return "NaN".rjust(20)
+    if math.isinf(x):
+        return ("-Infinity" if x < 0 else "Infinity").rjust(20)
     if x == 0.0:
         return "0.0000000000000E+00".rjust(20)
-    import math
 
     neg = x < 0.0
     ax = abs(x)

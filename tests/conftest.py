@@ -70,3 +70,36 @@ def relerr(got, want):
     errsum = np.abs(got - want).sum()
     refsum = np.abs(want).sum()
     return errsum / refsum if refsum > 0 else errsum
+
+
+# ---------------------------------------------------------------------------
+# quick/slow split: `pytest -m quick` is the bounded core set (CI stage 1 and
+# judge environments); `-m slow` is the interpret-mode Pallas sweeps and
+# property tests that dominate wall time on a 1-core host. Every test gets
+# exactly one of the two markers, assigned here by module/name so the split
+# can't silently drift as tests are added (unlisted modules default to slow).
+# ---------------------------------------------------------------------------
+QUICK_MODULES = {
+    "test_golden",       # fp64/fp32 golden tables (the correctness bar)
+    "test_multidevice",  # virtual 8-device mesh vs single-device
+    "test_data",         # loader/expand contracts
+    "test_bench_skip",   # bench.py structured-skip path
+    "test_native",       # C++ host data path vs numpy
+    "test_tools",        # serialbox converter round trips
+    "test_pmon",         # energy-monitor plumbing
+}
+QUICK_TESTS = {
+    "test_pallas_matches_oracle",             # one pallas-vs-oracle probe
+    "test_cli_serial_golden",                 # reference-arg-parity smoke
+    "test_validation_table_survives_nonfinite",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.name.split("[")[0]
+        module = item.module.__name__.rsplit(".", 1)[-1]
+        if module in QUICK_MODULES or name in QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)
+        else:
+            item.add_marker(pytest.mark.slow)

@@ -119,3 +119,29 @@ def test_pallas_agrees_on_perturbed_state(input_100, params):
         scale = np.abs(a).max() + 1e-30
         maxrel = np.abs(a - b).max() / scale
         assert maxrel < 2e-5, f"{name}: pallas vs scan maxrel {maxrel}"
+
+
+def test_validation_table_survives_nonfinite():
+    """A NaN/Inf-producing regression must still print the validation table
+    with the row flagged — the moment the table matters most. The reference's
+    Fortran E20.13 prints NaN/Infinity without raising (validate_mod.F90:292);
+    unlike Fortran's silent `NaN > x .eqv. .false.`, we force the `!!!!` flag
+    on any non-finite statistic."""
+    from cloudsc_tpu.validate import _e20_13, error_line, field_errors
+
+    ref = np.linspace(0.1, 1.0, 64).reshape(8, 8)
+    for bad in (np.nan, np.inf, -np.inf):
+        field = ref.copy()
+        field[3, 4] = bad
+        errs = field_errors("PCOVPTOT", field, ref)
+        assert errs.flagged, f"non-finite stats not flagged for {bad}"
+        line = error_line(errs)  # must not raise
+        assert "!!!!" in line
+        assert ("NaN" in line) or ("Infinity" in line)
+        assert len(line.split()) >= 7
+    # formatting unit: exact field width, sign handling
+    assert _e20_13(float("nan")).strip() == "NaN"
+    assert _e20_13(float("inf")).strip() == "Infinity"
+    assert _e20_13(float("-inf")).strip() == "-Infinity"
+    assert all(len(_e20_13(v)) == 20
+               for v in (float("nan"), float("inf"), float("-inf")))
