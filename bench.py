@@ -152,10 +152,15 @@ def _measure(backend: str, on_tpu: bool) -> dict:
         # the packed pytree shards over the column-BLOCK axis (-2), the field
         # dict over the trailing column axis — mixing them up would "shard"
         # the 128-lane axis
-        from cloudsc_tpu.runtime.dist import shard_fields, shard_packed
+        from cloudsc_tpu.runtime.dist import (
+            shard_fields, shard_packed, tile_major_packed,
+        )
 
         sharder = shard_packed if driver.packed else shard_fields
         fields = sharder(fields, driver.mesh)
+        if getattr(driver, "tile_major", False):
+            # per-shard on-device relayout, outside the timed loop
+            fields = tile_major_packed(fields, driver.mesh, driver.sublanes)
     else:
         fields = jax.device_put(fields)
         if getattr(driver, "tile_major", False):

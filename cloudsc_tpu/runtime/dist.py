@@ -105,14 +105,48 @@ def sharded_cloudsc(params, ptsphy: float, mesh: Mesh, backend: str = "xla",
     return jax.jit(fn)
 
 
+def _packed_spec(ndim: int) -> P:
+    """PartitionSpec for one packed buffer. 4-D/3-D buffers shard over the
+    column-block axis (axis -2); the 5-D tile-major pack shards over its
+    tile axis (axis 1, `ni`) — the same columns, coarser blocks."""
+    if ndim == 5:
+        return P(None, COLUMN_AXIS, None, None, None)
+    return P(*([None] * (ndim - 2) + [COLUMN_AXIS, None]))
+
+
 def shard_packed(packed: dict, mesh: Mesh) -> dict:
     """Place a packed-storage pytree on the mesh, sharded over the
-    column-block axis (axis -2 of every buffer)."""
+    column-block axis (axis -2 of every buffer; tile axis for a 5-D
+    tile-major pack)."""
     out = {}
     for k, v in packed.items():
-        spec = P(*([None] * (v.ndim - 2) + [COLUMN_AXIS, None]))
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        out[k] = jax.device_put(v, NamedSharding(mesh, _packed_spec(v.ndim)))
     return out
+
+
+def tile_major_packed(packed: dict, mesh: Mesh, sublanes: int) -> dict:
+    """Shard-aware tile-major relayout of a folded packed pytree.
+
+    Each device relayouts its OWN column shard (pure local
+    reshape/transpose, zero collectives) — valid because the driver pads to
+    whole tiles per device (prepare() gran = sublanes x mesh size), so a
+    shard's block axis is tile-aligned and the local relayout equals the
+    global one restricted to the shard. Packed storage stays orthogonal to
+    distribution exactly like the reference's FIELD-API packed option under
+    MPI (ref: cloudsc_field_state_mod.F90:29-59). Layout prep outside the
+    timed loop, like the grouped-column permutation."""
+    from jax import shard_map
+
+    from ..kernels.pallas_cloudsc import pack_to_tile_major
+
+    in_specs = ({k: _packed_spec(v.ndim) for k, v in packed.items()},)
+    local = lambda p: pack_to_tile_major(p, sublanes)
+    shapes = jax.eval_shape(local, packed)
+    out_specs = {k: _packed_spec(s.ndim) for k, s in shapes.items()}
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    ))(packed)
 
 
 def sharded_cloudsc_packed(params, ptsphy: float, mesh: Mesh,
@@ -127,11 +161,10 @@ def sharded_cloudsc_packed(params, ptsphy: float, mesh: Mesh,
     from ..kernels.pallas_cloudsc import cloudsc_pallas
     from jax import shard_map
 
-    def in_spec(v):
-        return P(*([None] * (v.ndim - 2) + [COLUMN_AXIS, None]))
-
     def fn(packed):
-        in_specs = ({k: in_spec(v) for k, v in packed.items()},)
+        # 5-D tile-major packs shard over the tile axis, everything else
+        # over the column-block axis (see _packed_spec)
+        in_specs = ({k: _packed_spec(v.ndim) for k, v in packed.items()},)
 
         def local(p):
             return cloudsc_pallas(

@@ -81,11 +81,11 @@ class CloudscDriver:
         self.folded = self.packed and fold_enabled()
         # tile-major relayout of the folded pack (CLOUDSC_TILE_MAJOR): each
         # grid step's DMA is one contiguous run instead of lps*nrows 16 kB
-        # runs — applied on device after h2d, single-process only (the mesh
-        # path shards the standard layout)
-        self.tile_major = (
-            self.folded and self.mesh is None and tile_major_enabled()
-        )
+        # runs — applied on device after h2d; on a mesh every device
+        # relayouts its own shard (dist.tile_major_packed, zero collectives),
+        # matching the reference where packed storage is orthogonal to MPI
+        # (ref: cloudsc_field_state_mod.F90:29-59)
+        self.tile_major = self.folded and tile_major_enabled()
         # activity-grouped column layout (default on, CLOUDSC_GROUP_COLUMNS=0
         # reverts): expand each snapshot column's copies contiguously so the
         # kernel's column tiles are homogeneous and the value-exact per-tile
@@ -304,9 +304,11 @@ class CloudscDriver:
 
         t0 = time.perf_counter()
         if self.mesh is not None and self.packed:
-            from .dist import shard_packed
+            from .dist import shard_packed, tile_major_packed
 
             fields = shard_packed(fields, self.mesh)
+            if self.tile_major:
+                fields = tile_major_packed(fields, self.mesh, self.sublanes)
         elif self.mesh is not None:
             fields = shard_fields(fields, self.mesh)
         else:

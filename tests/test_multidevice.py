@@ -95,3 +95,68 @@ def test_sharded_packed_pallas_matches_scan():
         b = np.asarray(getattr(out, name), dtype=np.float64)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
         assert err < 1e-5, f"{name}: {err:.2e}"
+
+
+def test_sharded_tile_major_foldo_bitwise_vs_single():
+    """Tile-major + folded outputs on the mesh: every device relayouts its
+    own shard (dist.tile_major_packed), and the result must be BITWISE equal
+    to the single-device tile-major run — the layouts are permutations of
+    the same values, so sharding must not change a bit (the reference's
+    packed storage is orthogonal to MPI, ref: cloudsc_field_state_mod.F90:29-59)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device CPU platform")
+
+    from conftest import REFERENCE_DATA
+    from cloudsc_tpu.data import load_input
+    from cloudsc_tpu.params import Params
+    from cloudsc_tpu.kernels.pallas_cloudsc import (
+        cloudsc_pallas, pack_inputs_raw, pack_to_tile_major,
+    )
+    from cloudsc_tpu.runtime import dist
+
+    sb, ndev = 2, 8
+    ncol = ndev * sb * 128  # whole tiles per device (driver gran contract)
+    inp = load_input(REFERENCE_DATA, ngptot=ncol)
+    params = Params.from_input(inp)
+    packed, _ = pack_inputs_raw(inp, sb * ndev, params, dtype=jnp.float32,
+                                fold=True)
+
+    for foldo in (True, False):
+        # single device: global tile-major relayout
+        tm = jax.jit(lambda p: pack_to_tile_major(p, sb))(packed)
+        single = cloudsc_pallas(None, params, inp.ptsphy, sublanes=sb,
+                                packed=tm, interpret=True,
+                                fold_outputs=foldo)
+
+        # mesh: shard the folded pack, relayout per shard, run via shard_map
+        mesh = dist.column_mesh()
+        sharded = dist.shard_packed(packed, mesh)
+        sharded = dist.tile_major_packed(sharded, mesh, sb)
+        assert sharded["pack"].ndim == 5
+        fn = dist.sharded_cloudsc_packed(params, inp.ptsphy, mesh,
+                                         sublanes=sb, interpret=True)
+        out = fn(sharded)
+
+        for name in single._fields:
+            a = np.asarray(getattr(single, name))
+            b = np.asarray(getattr(out, name))
+            if name in ("pfsqltur", "pfsqitur"):
+                # the two tur running sums carry the documented
+                # 1-partial-sum-ulp FMA-contraction ambiguity (XLA contracts
+                # the `acc + a*b*c` mul+add differently inside shard_map
+                # than in plain jit — both for the foldo synthesis and for
+                # the interpret-mode in-kernel accumulation) — same
+                # tolerance as tests/test_fold_outputs.py
+                np.testing.assert_allclose(
+                    a, b, atol=1e-12, err_msg=f"{name} (foldo={foldo})"
+                )
+            else:
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"{name} (foldo={foldo})"
+                )
