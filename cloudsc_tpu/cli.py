@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="snow sublimation: 1 Sundqvist / 2 PSD-based")
     p.add_argument("--idepice", type=int, choices=(1, 2), default=1,
                    help="ice deposition: 1 Rotstayn / 2 ice-PSD-based")
+    p.add_argument("--sweep-nproma", default=None, metavar="N1,N2,...",
+                   help="run a multi-configuration sweep over these NPROMA "
+                        "values in ONE process, reusing the loaded input — "
+                        "the prototype1 multi-config sweep driver "
+                        "(ref: src/prototype1/cloudsc/cloudsc_driver.F90:10-715); "
+                        "amortizes load + per-dispatch overhead vs one "
+                        "process per point; validation runs on the last "
+                        "configuration")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the compute loop to DIR "
                         "(the atlas_Trace / gprof analogue)")
@@ -136,20 +144,6 @@ def main(argv=None) -> int:
 
     cfg = SchemeConfig(args.iwarmrain, args.ievaprain, args.ievapsnow,
                        args.idepice)
-    driver = CloudscDriver(
-        params, inp.ptsphy, dtype=dtype, nproma=args.nproma,
-        use_mesh=args.mesh, backend=backend, scheme_config=cfg,
-    )
-    ngpblks = -(-ngptot // args.nproma)
-    ndev = driver.mesh.devices.size if driver.mesh is not None else 1
-    rank0 = rank == 0
-    if rank0:  # the reference's rank-0-gated config line
-        # (ref: cloudsc_driver_mod.F90:121-124)
-        print(
-            f"     NUMPROC={max(ndev, nranks)}, NUMOMP={args.numomp}, "
-            f"NGPTOTG={ngptotg}, NPROMA={args.nproma}, NGPBLKS={ngpblks}"
-        )
-
     # snapshot hooks need full host outputs; otherwise accelerator runs
     # validate on device (norm reductions, never a field gather — exactly the
     # reference, ref: validate_mod.F90:148-151; fetching full outputs over
@@ -162,36 +156,60 @@ def main(argv=None) -> int:
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    if args.profile:
-        with jax.profiler.trace(args.profile):
+    rank0 = rank == 0
+
+    # the prototype1 multi-config sweep: several NPROMA points in ONE
+    # process, shared input and device session, one perf table per point
+    # (ref: src/prototype1/cloudsc/cloudsc_driver.F90:10-715)
+    sweep = ([args.nproma] if not args.sweep_nproma
+             else [int(s) for s in args.sweep_nproma.split(",")])
+    if any(n < 1 for n in sweep):
+        parser.error("--sweep-nproma values must be >= 1")
+
+    for nproma in sweep:
+        driver = CloudscDriver(
+            params, inp.ptsphy, dtype=dtype, nproma=nproma,
+            use_mesh=args.mesh, backend=backend, scheme_config=cfg,
+        )
+        ngpblks = -(-ngptot // nproma)
+        ndev = driver.mesh.devices.size if driver.mesh is not None else 1
+        if rank0:  # the reference's rank-0-gated config line
+            # (ref: cloudsc_driver_mod.F90:121-124)
+            print(
+                f"     NUMPROC={max(ndev, nranks)}, NUMOMP={args.numomp}, "
+                f"NGPTOTG={ngptotg}, NPROMA={nproma}, NGPBLKS={ngpblks}"
+            )
+
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                out, timings, timer = driver.run(
+                    inp, iterations=args.iterations, fetch_outputs=fetch)
+            print(f" profiler trace -> {args.profile}")
+        else:
             out, timings, timer = driver.run(inp, iterations=args.iterations,
                                              fetch_outputs=fetch)
-        print(f" profiler trace -> {args.profile}")
-    else:
-        out, timings, timer = driver.run(inp, iterations=args.iterations,
-                                         fetch_outputs=fetch)
 
-    # cross-rank perf gather (ref: timer_mod.F90:167) — a collective, so every
-    # rank participates; only rank 0 prints
-    rank_rows = None
-    if nranks > 1:
-        from .runtime.dist import gather_perf_rows
+        # cross-rank perf gather (ref: timer_mod.F90:167) — a collective, so
+        # every rank participates; only rank 0 prints
+        rank_rows = None
+        if nranks > 1:
+            from .runtime.dist import gather_perf_rows
 
-        rank_rows = gather_perf_rows(
-            timings.compute_s * args.iterations, ngptot * args.iterations,
-        )
-    if rank0:
-        timer.print_performance(args.nproma, ngpblks, ngptot,
-                                numomp=args.numomp, rank=rank,
-                                rank_rows=rank_rows,
-                                iterations=args.iterations)
-        print(
-            f" device compute: {timings.compute_s * 1e3:9.3f} ms | h2d:"
-            f" {timings.h2d_s * 1e3:9.3f} ms | d2h: {timings.d2h_s * 1e3:9.3f} ms |"
-            f" compile: {timings.compile_s:7.3f} s"
-        )
-        if timings.energy_line:  # EC_PMON (ref: cloudsc_driver_mod.F90:170-178)
-            print(timings.energy_line)
+            rank_rows = gather_perf_rows(
+                timings.compute_s * args.iterations, ngptot * args.iterations,
+            )
+        if rank0:
+            timer.print_performance(nproma, ngpblks, ngptot,
+                                    numomp=args.numomp, rank=rank,
+                                    rank_rows=rank_rows,
+                                    iterations=args.iterations)
+            print(
+                f" device compute: {timings.compute_s * 1e3:9.3f} ms | h2d:"
+                f" {timings.h2d_s * 1e3:9.3f} ms | d2h: {timings.d2h_s * 1e3:9.3f} ms |"
+                f" compile: {timings.compile_s:7.3f} s"
+            )
+            if timings.energy_line:  # EC_PMON (ref: cloudsc_driver_mod.F90:170-178)
+                print(timings.energy_line)
 
     if not args.no_validate:
         ref = load_reference(ref_path, ngptot=ngptot, ngptotg=ngptotg,

@@ -85,3 +85,18 @@ def test_cli_platform_cpu_fp64_near_zero_flags():
                     "--platform", "cpu"])
     assert rc == 0
     assert out.count("!!!!") <= 1
+
+
+def test_cli_sweep_nproma():
+    """--sweep-nproma runs several NPROMA points in one process — the
+    prototype1 multi-config sweep driver (ref: cloudsc_driver.F90:10-715).
+    One config line + perf table per point, validation on the last."""
+    rc, out = _run(["1", "100", "16", "--precision", "fp64",
+                    "--sweep-nproma", "16,25"])
+    assert rc == 0
+    cfg = [l for l in out.splitlines() if "NUMPROC=" in l]
+    assert len(cfg) == 2
+    assert "NPROMA=16" in cfg[0] and "NPROMA=25" in cfg[1]
+    assert sum(l.rstrip().endswith(": TOTAL") for l in out.splitlines()) == 2
+    # validation table present once (last config)
+    assert sum(l.startswith(" PLUDE") for l in out.splitlines()) == 1
