@@ -77,10 +77,49 @@ _IN_STREAMED = [
 ]
 
 
-def pallas_supported(params) -> bool:
-    """Every scheme configuration (incl. the aerosol couplings, which add
-    extra streamed fields) is covered by the kernel."""
-    return True
+_PROBE_CACHE: dict = {}
+
+
+def pallas_supported(params, config=None) -> bool:
+    """Capability probe for the `auto` backend dispatch: trace + lower the
+    packed fused kernel for this SchemeConfig on a tiny ABSTRACT shape
+    (jax.jit(...).lower on ShapeDtypeStructs — no data, no device compile).
+
+    This catches the jaxpr→Mosaic-MLIR lowering-rule failures (unsupported
+    primitives/dtypes for a config) at the dispatch point, so `auto` falls
+    back to the scan engine instead of crashing deep inside the first jitted
+    call. Mosaic BACKEND-pass failures would still surface at compile —
+    probing those would cost a 1-3 min Mosaic build per config, which is not
+    a dispatch-point price. Cached per (config, layout flags);
+    CLOUDSC_PALLAS_PROBE=0 skips the probe (measurement sessions)."""
+    if os.environ.get("CLOUDSC_PALLAS_PROBE", "1") == "0":
+        return True
+    key = (repr(config), fold_enabled(), tile_major_enabled(),
+           fold_outputs_enabled())
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import jax
+
+    ok = True
+    try:
+        nlev, sb = 137, 8
+        nblk = sb  # one tile
+        c = scheme.derived_consts(params, 1.0, jnp.float32, config)
+        nrows = len(_PACK_ROWS_F) + len(_aer_rows(c))
+        p = {
+            "pack": jax.ShapeDtypeStruct(
+                (nlev + 1, nrows, nblk, LANES), jnp.float32),
+            "col": jax.ShapeDtypeStruct((4, nblk, LANES), jnp.float32),
+        }
+        jax.jit(
+            lambda q: cloudsc_pallas(None, params, 1.0, sublanes=sb,
+                                     packed=q, config=config)
+        ).lower(p)
+    except Exception:
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
 
 
 def _aer_rows(c) -> list[str]:

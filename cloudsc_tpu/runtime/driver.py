@@ -174,7 +174,8 @@ class CloudscDriver:
         # gate strictly on the TPU backend: on CUDA/ROCm/METAL JAX installs the
         # Mosaic kernel cannot lower, so 'auto' must fall back to the XLA scan
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and self.dtype == jnp.float32 and pallas_supported(self.params):
+        if on_tpu and self.dtype == jnp.float32 and pallas_supported(
+                self.params, self.scheme_config):
             return "pallas"
         return "xla"
 

@@ -83,3 +83,37 @@ def test_packed_sweep_configs_smoke(oracle_pair, sb, lps, monkeypatch):
     out = cloudsc_pallas(fields, params, inp.ptsphy, sublanes=sb,
                          packed=True, interpret=True)
     _compare(ref, out, rtol=1e-5)
+
+
+def test_pallas_supported_guard(monkeypatch, input_100, params):
+    """The `auto` dispatch guard: a SchemeConfig whose kernel fails to lower
+    must select the scan engine at dispatch, not crash inside the first
+    jitted call (the probe traces+lowers a tiny abstract shape, cached)."""
+    import jax
+
+    from cloudsc_tpu.kernels import pallas_cloudsc as pc
+    from cloudsc_tpu.runtime.driver import CloudscDriver
+
+    monkeypatch.setattr(pc, "_PROBE_CACHE", {})
+
+    def boom(*a, **k):
+        raise ValueError("hypothetical unsupported config")
+
+    monkeypatch.setattr(pc, "cloudsc_pallas", boom)
+    assert pc.pallas_supported(params) is False
+    # cached: a second call must not re-probe (boom would raise visibly if
+    # the cache missed — same args, same key)
+    assert pc.pallas_supported(params) is False
+
+    # the driver's auto dispatch honors the verdict even "on TPU"
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    import jax.numpy as jnp
+
+    drv = CloudscDriver(params, input_100.ptsphy, dtype=jnp.float32,
+                        backend="auto")
+    assert drv.backend == "xla"
+
+    # kill switch for measurement sessions: probe skipped, optimistic True
+    monkeypatch.setenv("CLOUDSC_PALLAS_PROBE", "0")
+    monkeypatch.setattr(pc, "_PROBE_CACHE", {})
+    assert pc.pallas_supported(params) is True
