@@ -248,8 +248,94 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
     )
     _zqx_full = ini["zqx"]
 
+    # Packed-closure scan (CLOUDSC_SCAN_PACKED=1): stack the per-level
+    # closure arrays into three buffers so each scan step issues FIVE
+    # dynamic-slices instead of ~40 — S (current-level-only rows), P (the
+    # three rows also read at jk-1), H (the three rows also read at jk+1,
+    # padded to nlev+1 rows by duplicating the last row, which reproduces
+    # the out-of-range clamp of the unpacked path bitwise). Stacking copies
+    # values and the unpack is static row indexing — the op sequence is
+    # identical; XLA's FMA-contraction choices in the rebuilt fusion
+    # clusters shift outputs by ≤1 contraction ulp (5.5e-15 max rel
+    # measured, tests/test_invariance.py; fp64 goldens hold). A measured-
+    # schedule knob like the kernel's packed storage (ref: the hoisted-
+    # temporaries driver variant, cloudsc_driver_gpu_scc_hoist_mod.F90:136-169).
+    scan_packed = os.environ.get("CLOUDSC_SCAN_PACKED", "0") == "1"
+    if scan_packed:
+        _P_ROWS = ("ztp1", "za", "pap")
+        _H_ROWS = ("paph", "pmf", "plu")
+        _S_ROWS = [n for n in closure
+                   if n not in _P_ROWS + _H_ROWS] + \
+                  [f"zqx{m}" for m in range(NCLV)]
+        _S_IDX = {n: i for i, n in enumerate(_S_ROWS)}
+        _stack_s = jnp.stack(
+            [closure[n] for n in _S_ROWS[:-NCLV]]
+            + [_zqx_full[m] for m in range(NCLV)], axis=1
+        )  # (nlev, R, ncol)
+        _stack_p = jnp.stack([closure[n] for n in _P_ROWS], axis=1)
+        _stack_h = jnp.stack(
+            [jnp.concatenate([v, v[-1:]], axis=0) if v.shape[0] == nlev
+             else v for v in (closure[n] for n in _H_ROWS)], axis=1
+        )  # (nlev+1, 3, ncol)
+
     def make_x(k):
         """Per-level view: rows at jk (and jk-1 / jk+1 where the scheme needs)."""
+        if scan_packed:
+            sk = jax.lax.dynamic_index_in_dim(_stack_s, k, 0, keepdims=False)
+            pk = jax.lax.dynamic_index_in_dim(_stack_p, k, 0, keepdims=False)
+            pkm = jax.lax.dynamic_index_in_dim(
+                _stack_p, k - 1, 0, keepdims=False)
+            hk = jax.lax.dynamic_index_in_dim(_stack_h, k, 0, keepdims=False)
+            hkp = jax.lax.dynamic_index_in_dim(
+                _stack_h, k + 1, 0, keepdims=False)
+            _pi = {n: i for i, n in enumerate(_P_ROWS)}
+            _hi = {n: i for i, n in enumerate(_H_ROWS)}
+
+            def row(name, off=0):
+                if name in _pi:
+                    src = {0: pk, -1: pkm}[off]
+                    return src[_pi[name]]
+                if name in _hi:
+                    src = {0: hk, 1: hkp}[off]
+                    return src[_hi[name]]
+                assert off == 0, (name, off)
+                return sk[_S_IDX[name]]
+
+            x = {
+                "ztp1": row("ztp1"), "ztp1_prev": row("ztp1", -1),
+                "za": row("za"), "za_prev": row("za", -1),
+                "zaorig": row("zaorig"),
+                "zqx": [sk[_S_IDX[f"zqx{m}"]] for m in range(NCLV)],
+                "zqsmix": row("zqsmix"), "zqsliq": row("zqsliq"),
+                "zqsice": row("zqsice"), "zfoeew": row("zfoeew"),
+                "zfoeewmt": row("zfoeewmt"), "zfoeeliqt": row("zfoeeliqt"),
+                "zfoealfa": row("zfoealfa"), "zli": row("zli"),
+                "zliqfrac": row("zliqfrac"), "zicefrac": row("zicefrac"),
+                "zfoeeliq": row("zfoeeliq"), "zfoeeice": row("zfoeeice"),
+                "zfokoop": row("zfokoop"),
+                "pap": row("pap"), "pap_prev": row("pap", -1),
+                "paph": row("paph"), "paph_next": row("paph", 1),
+                "pmf": row("pmf"), "pmf_next": row("pmf", 1),
+                "pvervel": row("pvervel"), "zhr": row("zhr"),
+                "plude_in": row("plude_in"), "plu_next": row("plu", 1),
+                "psnde": row("psnde"), "psupsat": row("psupsat"),
+                "tend_t_pre": row("tend_t_pre"),
+                "tend_q_pre": row("tend_q_pre"),
+                "paph_surf": paph_surf, "land": land,
+                "ldcum": ldcum, "ktype": ktype,
+                "not_first": k > ktop,
+                "not_last": k < nlev - 1,
+            }
+            if c.LAERICESED:
+                x["pre_ice"] = row("pre_ice")
+            if c.LAERICEAUTO:
+                x["picrit_aer"] = row("picrit_aer")
+                x["pnice"] = row("pnice")
+            if c.LAERLIQAUTOLSP or c.LAERLIQCOLL:
+                x["plcrit_aer"] = row("plcrit_aer")
+                x["pccn"] = row("pccn")
+            return x
+
         row = lambda name, off=0: jax.lax.dynamic_index_in_dim(
             closure[name], k + off, axis=0, keepdims=False
         )

@@ -194,3 +194,35 @@ def test_s521_round_skip_is_inert(input_100, params):
                 f"{name}: s521 round skip not inert "
                 f"(max abs diff {np.abs(diff).max()})"
             )
+
+
+def test_scan_packed_closure_bitwise(input_100, params, golden_outputs_fp64):
+    """CLOUDSC_SCAN_PACKED=1 (stacked-closure scan, 5 dynamic-slices/level
+    instead of ~40) is a pure memory-layout change: stacking copies values
+    and the unpack is static row indexing with clamp semantics preserved.
+    The op SEQUENCE is identical; XLA's FMA-contraction choices inside the
+    rebuilt fusion clusters are not, so outputs agree to ~1 contraction ulp
+    (measured 5.5e-15 max rel on CPU fp64) rather than bitwise — the same
+    ambiguity class as the tur running sums (tests/test_fold_outputs.py)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cloudsc_tpu.physics import cloudsc, make_inputs
+
+    fields = make_inputs(input_100, dtype=jnp.float64)
+    os.environ["CLOUDSC_SCAN_PACKED"] = "1"
+    try:
+        out = jax.jit(
+            lambda f: cloudsc(f, params, input_100.ptsphy)
+        )(fields)
+        out = jax.block_until_ready(out)
+    finally:
+        del os.environ["CLOUDSC_SCAN_PACKED"]
+    for name in golden_outputs_fp64._fields:
+        a = np.asarray(getattr(golden_outputs_fp64, name))
+        b = np.asarray(getattr(out, name))
+        scale = np.abs(a).max() + 1e-300
+        assert np.abs(a - b).max() / scale < 1e-12, name
