@@ -329,6 +329,8 @@ def main() -> int:
         "CLOUDSC_FOLD_INPUTS": FOLD_DEFAULT,
         "CLOUDSC_TILE_MAJOR": TILE_MAJOR_DEFAULT,
         "CLOUDSC_FOLD_OUTPUTS": FOLD_OUTPUTS_DEFAULT,
+        "CLOUDSC_SCAN_PACKED": "0",
+        "CLOUDSC_SCAN_UNROLL": "",
     }
     default_config = all(
         os.environ.get(k, d) == d for k, d in knob_defaults.items()
