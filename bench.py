@@ -323,7 +323,7 @@ def main() -> int:
         "CLOUDSC_BENCH_MESH": "0",
         "CLOUDSC_GROUP_COLUMNS": "1",
         "CLOUDSC_GROUP_SORT": "1",
-        "CLOUDSC_PALLAS_LPS": "3",
+        "CLOUDSC_PALLAS_LPS": "6",
         "CLOUDSC_SCHEME_SKIP": "",
         "CLOUDSC_S521_ROUND_SKIP": "0",
         "CLOUDSC_FOLD_INPUTS": FOLD_DEFAULT,

@@ -615,13 +615,17 @@ def _write_level_rows(c, o_lev, o_half, scr, sub, k, raw, ini, *, plude_row,
 
 def _lps_for(nlev: int) -> int:
     """Levels integrated per grid step (packed mode): the largest divisor of
-    nlev+1 not exceeding CLOUDSC_PALLAS_LPS (default 3). Measured on the
-    grouped+fold body at L137 (bench/lab11_grouped.log [4c]): lps 3 gives
-    8.62 ms/step vs 9.57 @6 and 10.31 @2 — the dynamic-skip branches made
-    the smaller level group the optimum (finer cond granularity beats DMA
-    amortization); 23 blows up the Mosaic compile (>580 s, body replicated
-    per level). Earlier bodies preferred 6 (docs/PERFORMANCE.md history)."""
-    req = int(os.environ.get("CLOUDSC_PALLAS_LPS", "3"))
+    nlev+1 not exceeding CLOUDSC_PALLAS_LPS (default 6). The 3-vs-6 history
+    (docs/PERFORMANCE.md): the grouped+fold body preferred 3
+    (bench/lab11_grouped.log [4c]: 8.62 @3 vs 9.57 @6 — finer cond
+    granularity beat DMA amortization), and two later arbiters were
+    ambiguous; under the round-5 defaults (fold+tilem+foldo) the POWERED
+    arbiter (bench/lab19_lps.log: 4 full pairs, 2 floor pairs, 2 bench
+    pairs, alternating orders) favored 6 in all 8 comparisons (~0.1 ms,
+    floor 4.88 vs 5.01) — the contiguous tile-major run amortizes better
+    once the stream is short. 23 blows up the Mosaic compile (>580 s,
+    body replicated per level); lps=6 fresh compiles are 20-26 s."""
+    req = int(os.environ.get("CLOUDSC_PALLAS_LPS", "6"))
     for cand in range(max(1, min(req, nlev + 1)), 0, -1):
         if (nlev + 1) % cand == 0:
             return cand
