@@ -161,9 +161,17 @@ def main(argv=None) -> int:
     # the prototype1 multi-config sweep: several NPROMA points in ONE
     # process, shared input and device session, one perf table per point
     # (ref: src/prototype1/cloudsc/cloudsc_driver.F90:10-715)
-    sweep = ([args.nproma] if not args.sweep_nproma
-             else [int(s) for s in args.sweep_nproma.split(",")])
-    if any(n < 1 for n in sweep):
+    if args.sweep_nproma:
+        try:
+            sweep = [int(s) for s in args.sweep_nproma.split(",")]
+        except ValueError:
+            parser.error(
+                f"--sweep-nproma must be comma-separated integers "
+                f"(got {args.sweep_nproma!r})"
+            )
+    else:
+        sweep = [args.nproma]
+    if not sweep or any(n < 1 for n in sweep):
         parser.error("--sweep-nproma values must be >= 1")
 
     for nproma in sweep:

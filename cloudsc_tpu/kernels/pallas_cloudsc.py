@@ -90,33 +90,73 @@ def pallas_supported(params, config=None) -> bool:
     back to the scan engine instead of crashing deep inside the first jitted
     call. Mosaic BACKEND-pass failures would still surface at compile —
     probing those would cost a 1-3 min Mosaic build per config, which is not
-    a dispatch-point price. Cached per (config, layout flags);
-    CLOUDSC_PALLAS_PROBE=0 skips the probe (measurement sessions)."""
+    a dispatch-point price. The probe builds the SAME layout production
+    will run (folded / tile-major / legacy per the env flags), and the
+    cache key includes the aerosol row set (the params projection that
+    changes the layout). CLOUDSC_PALLAS_PROBE=0 skips the probe
+    (measurement sessions)."""
     if os.environ.get("CLOUDSC_PALLAS_PROBE", "1") == "0":
         return True
-    key = (repr(config), fold_enabled(), tile_major_enabled(),
-           fold_outputs_enabled())
+    import jax
+
+    fold, tilem = fold_enabled(), tile_major_enabled()
+    try:
+        c = scheme.derived_consts(params, 1.0, jnp.float32, config)
+        aer = tuple(_aer_rows(c))
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"pallas_supported: derived_consts failed ({e!r}); "
+            "auto backend falls back to the scan engine"
+        )
+        return False
+    key = (repr(config), aer, fold, tilem, fold_outputs_enabled())
     hit = _PROBE_CACHE.get(key)
     if hit is not None:
         return hit
-    import jax
 
     ok = True
     try:
         nlev, sb = 137, 8
         nblk = sb  # one tile
-        c = scheme.derived_consts(params, 1.0, jnp.float32, config)
-        nrows = len(_PACK_ROWS_F) + len(_aer_rows(c))
-        p = {
-            "pack": jax.ShapeDtypeStruct(
-                (nlev + 1, nrows, nblk, LANES), jnp.float32),
-            "col": jax.ShapeDtypeStruct((4, nblk, LANES), jnp.float32),
-        }
+        f32 = jnp.float32
+        S = jax.ShapeDtypeStruct
+        if fold:
+            nrows = len(_PACK_ROWS_F) + len(aer)
+            if tilem:
+                lps = _lps_for(nlev)
+                nk2 = (nlev + 1) // lps
+                p = {
+                    "pack": S((nk2, nblk // sb, lps * nrows, sb, LANES), f32),
+                    "col": S((4, nblk, LANES), f32),
+                }
+            else:
+                p = {
+                    "pack": S((nlev + 1, nrows, nblk, LANES), f32),
+                    "col": S((4, nblk, LANES), f32),
+                }
+        else:  # legacy packed layout (pack_inputs(fold=False) shapes)
+            nrows = len(_PACK_ROWS) + len(aer)
+            p = {
+                "pack": S((nlev + 1, nrows, nblk, LANES), f32),
+                "nxt": S((nlev + 1, 3, nblk, LANES), f32),
+                "paph": S((nlev + 1, nblk, LANES), f32),
+                "col": S((4, nblk, LANES), f32),
+            }
         jax.jit(
             lambda q: cloudsc_pallas(None, params, 1.0, sublanes=sb,
                                      packed=q, config=config)
         ).lower(p)
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"pallas_supported: kernel failed to lower for this "
+            f"configuration ({e!r}); auto backend falls back to the scan "
+            "engine (explicitly request backend='pallas' to see the full "
+            "error)"
+        )
         ok = False
     _PROBE_CACHE[key] = ok
     return ok

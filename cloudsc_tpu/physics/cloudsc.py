@@ -264,8 +264,18 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
     if scan_packed:
         _P_ROWS = ("ztp1", "za", "pap")
         _H_ROWS = ("paph", "pmf", "plu")
+        # aerosol rows only when the coupling reads them (same conditions
+        # as the make_x reads below) — stacking disabled rows would burn
+        # ~90 MB/row of copy + per-level slice bandwidth for nothing
+        _unread = set()
+        if not c.LAERICESED:
+            _unread.add("pre_ice")
+        if not c.LAERICEAUTO:
+            _unread.update(("picrit_aer", "pnice"))
+        if not (c.LAERLIQAUTOLSP or c.LAERLIQCOLL):
+            _unread.update(("plcrit_aer", "pccn"))
         _S_ROWS = [n for n in closure
-                   if n not in _P_ROWS + _H_ROWS] + \
+                   if n not in _P_ROWS + _H_ROWS and n not in _unread] + \
                   [f"zqx{m}" for m in range(NCLV)]
         _S_IDX = {n: i for i, n in enumerate(_S_ROWS)}
         _stack_s = jnp.stack(

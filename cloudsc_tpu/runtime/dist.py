@@ -151,7 +151,8 @@ def tile_major_packed(packed: dict, mesh: Mesh, sublanes: int) -> dict:
 
 def sharded_cloudsc_packed(params, ptsphy: float, mesh: Mesh,
                            sublanes: int = 32, config=None,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           fold_outputs: bool | None = None):
     """The fused Pallas kernel over a column mesh via shard_map.
 
     pallas_call is a custom call XLA cannot partition, so the packed fast
@@ -170,6 +171,7 @@ def sharded_cloudsc_packed(params, ptsphy: float, mesh: Mesh,
             return cloudsc_pallas(
                 None, params, ptsphy, sublanes=sublanes, packed=p,
                 interpret=interpret, config=config,
+                fold_outputs=fold_outputs,
             )
 
         # probe output structure to build out_specs (columns = trailing axis)

@@ -98,6 +98,11 @@ def convert(h5_path: str, out_dir: str, prefix: str = "input",
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
+    # shape-(1,) datasets are global scalars — that is the h5-mirror
+    # contract (write_h5 stores scalars as shape-(1,); every genuine field
+    # in the CLOUDSC data contract has >=100 columns, SURVEY.md appendix A).
+    # A hypothetical 1-element FIELD would be misclassified here, so the
+    # count line below makes the split visible for eyeballing.
     fields: dict[str, np.ndarray] = {}
     scalars: dict[str, object] = {}
     with h5py.File(h5_path, "r") as f:

@@ -196,7 +196,8 @@ def test_s521_round_skip_is_inert(input_100, params):
             )
 
 
-def test_scan_packed_closure_bitwise(input_100, params, golden_outputs_fp64):
+def test_scan_packed_closure_bitwise(monkeypatch, input_100, params,
+                                     golden_outputs_fp64):
     """CLOUDSC_SCAN_PACKED=1 (stacked-closure scan, 5 dynamic-slices/level
     instead of ~40) is a pure memory-layout change: stacking copies values
     and the unpack is static row indexing with clamp semantics preserved.
@@ -204,8 +205,6 @@ def test_scan_packed_closure_bitwise(input_100, params, golden_outputs_fp64):
     rebuilt fusion clusters are not, so outputs agree to ~1 contraction ulp
     (measured 5.5e-15 max rel on CPU fp64) rather than bitwise — the same
     ambiguity class as the tur running sums (tests/test_fold_outputs.py)."""
-    import os
-
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -213,14 +212,11 @@ def test_scan_packed_closure_bitwise(input_100, params, golden_outputs_fp64):
     from cloudsc_tpu.physics import cloudsc, make_inputs
 
     fields = make_inputs(input_100, dtype=jnp.float64)
-    os.environ["CLOUDSC_SCAN_PACKED"] = "1"
-    try:
-        out = jax.jit(
-            lambda f: cloudsc(f, params, input_100.ptsphy)
-        )(fields)
-        out = jax.block_until_ready(out)
-    finally:
-        del os.environ["CLOUDSC_SCAN_PACKED"]
+    monkeypatch.setenv("CLOUDSC_SCAN_PACKED", "1")
+    out = jax.jit(
+        lambda f: cloudsc(f, params, input_100.ptsphy)
+    )(fields)
+    out = jax.block_until_ready(out)
     for name in golden_outputs_fp64._fields:
         a = np.asarray(getattr(golden_outputs_fp64, name))
         b = np.asarray(getattr(out, name))

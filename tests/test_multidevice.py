@@ -140,7 +140,8 @@ def test_sharded_tile_major_foldo_bitwise_vs_single():
         sharded = dist.tile_major_packed(sharded, mesh, sb)
         assert sharded["pack"].ndim == 5
         fn = dist.sharded_cloudsc_packed(params, inp.ptsphy, mesh,
-                                         sublanes=sb, interpret=True)
+                                         sublanes=sb, interpret=True,
+                                         fold_outputs=foldo)
         out = fn(sharded)
 
         for name in single._fields:
