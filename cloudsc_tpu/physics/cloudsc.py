@@ -154,20 +154,69 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
     }
 
 
-def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
-    """One CLOUDSC step over all columns. Jit with params/ptsphy baked in, e.g.
-    `jax.jit(lambda f: cloudsc(f, params, ptsphy))`. `config` selects the
-    scheme versions (scheme.SchemeConfig; reference defaults when None).
+# Packed-closure scan layout (CLOUDSC_SCAN_PACKED / scan_pack): canonical
+# row sets. _SCAN_CLOSURE_NAMES mirrors the closure dict literal built in
+# _scan_front() EXACTLY — scan_pack() (pack outside the step) and the
+# in-step stacking must agree on row order for the same SchemeConfig.
+_SCAN_P_ROWS = ("ztp1", "za", "pap")          # rows also read at jk-1
+_SCAN_H_ROWS = ("paph", "pmf", "plu")         # rows also read at jk+1
+_SCAN_CLOSURE_NAMES = (
+    "ztp1", "za", "zaorig", "zqsmix", "zqsliq", "zqsice", "zfoeew",
+    "zfoeewmt", "zfoeeliqt", "zfoealfa", "zli", "zliqfrac", "zicefrac",
+    "zfoeeliq", "zfoeeice", "zfokoop", "pap", "paph", "pmf", "zhr",
+    "pvervel", "plude_in", "plu", "psnde", "psupsat", "tend_t_pre",
+    "tend_q_pre", "pre_ice", "picrit_aer", "pnice", "plcrit_aer", "pccn",
+)
+
+
+def _scan_s_rows(c) -> list:
+    """Row order of the S stack (current-level-only rows + the NCLV species).
+
+    Aerosol rows join only when the coupling reads them (same conditions as
+    the make_x reads) — stacking disabled rows would burn ~90 MB/row of copy
+    + per-level slice bandwidth for nothing."""
+    unread = set()
+    if not c.LAERICESED:
+        unread.add("pre_ice")
+    if not c.LAERICEAUTO:
+        unread.update(("picrit_aer", "pnice"))
+    if not (c.LAERLIQAUTOLSP or c.LAERLIQCOLL):
+        unread.update(("plcrit_aer", "pccn"))
+    return [n for n in _SCAN_CLOSURE_NAMES
+            if n not in _SCAN_P_ROWS + _SCAN_H_ROWS and n not in unread] + \
+           [f"zqx{m}" for m in range(NCLV)]
+
+
+def _scan_stacks(closure: dict, zqx_full, c, nlev: int):
+    """Stack the closure into the three packed-scan buffers — S (current-
+    level-only rows), P (the three rows also read at jk-1), H (the three
+    rows also read at jk+1, padded to nlev+1 rows by duplicating the last
+    row, which reproduces the out-of-range clamp of the unpacked path
+    bitwise)."""
+    s_rows = _scan_s_rows(c)
+    stack_s = jnp.stack(
+        [closure[n] for n in s_rows[:-NCLV]]
+        + [zqx_full[m] for m in range(NCLV)], axis=1
+    )  # (nlev, R, ncol)
+    stack_p = jnp.stack([closure[n] for n in _SCAN_P_ROWS], axis=1)
+    stack_h = jnp.stack(
+        [jnp.concatenate([v, v[-1:]], axis=0) if v.shape[0] == nlev
+         else v for v in (closure[n] for n in _SCAN_H_ROWS)], axis=1
+    )  # (nlev+1, 3, ncol)
+    return stack_s, stack_p, stack_h
+
+
+def _scan_front(fields: dict, params, ptsphy: float, config):
+    """Sections 0-1 + the scan closure (shared by cloudsc() and scan_pack()).
+
+    Returns (c, nlev, ncol, dtype, closure, zqx_full, aux) where aux carries
+    everything cloudsc() consumes OUTSIDE the vertical scan (assembly + §8).
     """
     folded = "ztp1_in" in fields  # make_inputs(fold=True) contract
     pt = fields["ztp1_in"] if folded else fields["pt"]
     dtype = pt.dtype
     nlev, ncol = pt.shape
     c = scheme.derived_consts(params, ptsphy, dtype, config)
-    ktop = c.NCLDTOP - 1           # 0-based first scan level
-    zqtmst = c.zqtmst
-
-    zeros2 = jnp.zeros((nlev, ncol), dtype)
 
     # ==================================================================
     # 1. INITIAL VALUES (ref: 654-808) — level_init batched over (lev, col)
@@ -189,18 +238,143 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
             tendency_tmp_cld=[fields["tendency_tmp_cld"][m] for m in range(4)],
         )
     ini = scheme.level_init(raw, c)
-    zqx0 = ini["zqx0"]
-    zlneg = ini["zlneg"]
-    zfoealfa = ini["zfoealfa"]
-    tend_t_full, tend_q_full = ini["tend_t_pre"], ini["tend_q_pre"]
 
-    paph = fields["paph"]
-    paph_surf = paph[nlev]
+    # The scan closes over the full (nlev, ncol) arrays and dynamic-slices the
+    # rows it needs (jk, jk-1, jk+1) — no shifted/stacked xs copies are ever
+    # materialized, which matters at benchmark sizes (dozens of ~90MB arrays).
+    # Out-of-range jk+1 reads clamp to the last row; every consumer masks them
+    # with `not_last`, mirroring the Fortran IF(JK<KLEV) guards.
+    closure = dict(
+        ztp1=ini["ztp1"], za=ini["za"], zaorig=ini["zaorig"],
+        zqsmix=ini["zqsmix"], zqsliq=ini["zqsliq"], zqsice=ini["zqsice"],
+        zfoeew=ini["zfoeew"], zfoeewmt=ini["zfoeewmt"],
+        zfoeeliqt=ini["zfoeeliqt"],
+        zfoealfa=ini["zfoealfa"], zli=ini["zli"],
+        zliqfrac=ini["zliqfrac"], zicefrac=ini["zicefrac"],
+        zfoeeliq=ini["zfoeeliq"], zfoeeice=ini["zfoeeice"],
+        zfokoop=ini["zfokoop"],
+        pap=fields["pap"], paph=fields["paph"],
+        # the scheme only ever consumes these summed (scheme.level_step) —
+        # hoisting the adds here is bitwise-neutral (same IEEE adds, once);
+        # folded inputs carry the load-time fp64 sums instead
+        pmf=fields["pmf"] if folded else fields["pmfu"] + fields["pmfd"],
+        zhr=fields["zhr"] if folded else fields["phrsw"] + fields["phrlw"],
+        pvervel=fields["pvervel"],
+        plude_in=fields["plude"], plu=fields["plu"], psnde=fields["psnde"],
+        psupsat=fields["psupsat"],
+        tend_t_pre=ini["tend_t_pre"], tend_q_pre=ini["tend_q_pre"],
+        pre_ice=fields["pre_ice"], picrit_aer=fields["picrit_aer"],
+        pnice=fields["pnice"], plcrit_aer=fields["plcrit_aer"],
+        pccn=fields["pccn"],
+    )
+    aux = dict(
+        zqx0=ini["zqx0"], zlneg=ini["zlneg"], zfoealfa=ini["zfoealfa"],
+        tend_t_full=ini["tend_t_pre"], tend_q_full=ini["tend_q_pre"],
+        land=fields["plsm"] > 0.5, ldcum=fields["ldcum"],
+        ktype=fields["ktype"], pvfl=fields["pvfl"], pvfi=fields["pvfi"],
+    )
+    return c, nlev, ncol, dtype, closure, ini["zqx"], aux
+
+
+def scan_pack(fields: dict, params, ptsphy: float, config=None) -> dict:
+    """Pre-build the packed-closure scan buffers (pack ONCE, outside any
+    chained/timing loop) — the scan engine's analogue of the Pallas
+    pack_inputs_raw. Sections 0-1 run here at pack time; the returned dict
+    is consumed directly by cloudsc() (detected by its "stack_s" key).
+
+    Rationale: the stacking that CLOUDSC_SCAN_PACKED=1 performs INSIDE the
+    step is rebuilt on every iteration of a chained loop (the fields thread
+    the fori_loop carry, so XLA cannot hoist it), which is what made the
+    in-step packed closure LOSE on device (bench/lab18_scanpack.log,
+    ~6 GB/iter of stack rebuild). Pre-packing removes the rebuild while
+    keeping the 5-dynamic-slices-per-level schedule.
+
+    Must be called with the same `config` later passed to cloudsc() — the
+    S-stack aerosol row set depends on it (_scan_s_rows)."""
+    c, nlev, ncol, dtype, closure, zqx_full, aux = _scan_front(
+        fields, params, ptsphy, config)
+    stack_s, stack_p, stack_h = _scan_stacks(closure, zqx_full, c, nlev)
+    return dict(
+        stack_s=stack_s, stack_p=stack_p, stack_h=stack_h,
+        zqx0=jnp.stack(aux["zqx0"]), zlneg=jnp.stack(aux["zlneg"]),
+        pvfl=aux["pvfl"], pvfi=aux["pvfi"],
+        land=aux["land"], ldcum=aux["ldcum"], ktype=aux["ktype"],
+        # all-zero; the chained-timing data dependency enters through it
+        # (runtime/driver.chained_fn) — x + 0.0 is a bitwise identity for
+        # the strictly positive surface pressures it lands on
+        dep=jnp.zeros((ncol,), dtype),
+    )
+
+
+def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
+    """One CLOUDSC step over all columns. Jit with params/ptsphy baked in, e.g.
+    `jax.jit(lambda f: cloudsc(f, params, ptsphy))`. `config` selects the
+    scheme versions (scheme.SchemeConfig; reference defaults when None).
+    Accepts either the make_inputs field dict (plain or folded) or the
+    pre-packed closure from scan_pack() (detected by the "stack_s" key).
+    """
+    # Packed-closure scan (CLOUDSC_SCAN_PACKED=1 stacks in-step; scan_pack()
+    # dicts arrive pre-stacked): the per-level closure arrays live in three
+    # buffers so each scan step issues FIVE dynamic-slices instead of ~40.
+    # Stacking copies values and the unpack is static row indexing — the op
+    # sequence is identical; XLA's FMA-contraction choices in the rebuilt
+    # fusion clusters shift outputs by ≤1 contraction ulp (5.5e-15 max rel
+    # measured, tests/test_invariance.py; fp64 goldens hold). A measured-
+    # schedule knob like the kernel's packed storage (ref: the hoisted-
+    # temporaries driver variant, cloudsc_driver_gpu_scc_hoist_mod.F90:136-169).
+    prepacked = "stack_s" in fields
+    scan_packed = prepacked or \
+        os.environ.get("CLOUDSC_SCAN_PACKED", "0") == "1"
+    if prepacked:
+        _stack_s, _stack_p, _stack_h = (
+            fields["stack_s"], fields["stack_p"], fields["stack_h"]
+        )
+        dtype = _stack_s.dtype
+        nlev, ncol = _stack_s.shape[0], _stack_s.shape[2]
+        c = scheme.derived_consts(params, ptsphy, dtype, config)
+        _S_IDX = {n: i for i, n in enumerate(_scan_s_rows(c))}
+        zqx0 = [fields["zqx0"][m] for m in range(NCLV)]
+        zlneg = [fields["zlneg"][m] for m in range(NCLV)]
+        zfoealfa = _stack_s[:, _S_IDX["zfoealfa"]]
+        tend_t_full = _stack_s[:, _S_IDX["tend_t_pre"]]
+        tend_q_full = _stack_s[:, _S_IDX["tend_q_pre"]]
+        plude_in_full = _stack_s[:, _S_IDX["plude_in"]]
+        pvfl, pvfi = fields["pvfl"], fields["pvfi"]
+        pap = _stack_p[:, 2]
+        ztp1_full = _stack_p[:, 0]
+        paph = _stack_h[:, 0]
+        # fields["dep"] is all-zero — the chained-timing data dependency
+        # enters here; x + 0.0 is a bitwise identity for positive pressures
+        paph_surf = paph[nlev] + fields["dep"]
+        land, ldcum, ktype = fields["land"], fields["ldcum"], fields["ktype"]
+        closure = None
+        _zqx_full = None
+    else:
+        c, nlev, ncol, dtype, closure, _zqx_full, aux = _scan_front(
+            fields, params, ptsphy, config)
+        zqx0 = aux["zqx0"]
+        zlneg = aux["zlneg"]
+        zfoealfa = aux["zfoealfa"]
+        tend_t_full, tend_q_full = aux["tend_t_full"], aux["tend_q_full"]
+        plude_in_full = fields["plude"]
+        pvfl, pvfi = aux["pvfl"], aux["pvfi"]
+        pap, paph = closure["pap"], closure["paph"]
+        ztp1_full = closure["ztp1"]
+        paph_surf = paph[nlev]
+        land, ldcum, ktype = aux["land"], aux["ldcum"], aux["ktype"]
+        if scan_packed:
+            _stack_s, _stack_p, _stack_h = _scan_stacks(
+                closure, _zqx_full, c, nlev)
+            _S_IDX = {n: i for i, n in enumerate(_scan_s_rows(c))}
+
+    ktop = c.NCLDTOP - 1           # 0-based first scan level
+    zqtmst = c.zqtmst
+    zeros2 = jnp.zeros((nlev, ncol), dtype)
 
     # ==================================================================
     # 2. tropopause level (ref: 821-832) — diagnostic only in this config
     # ==================================================================
-    pap, ztp1 = fields["pap"], ini["ztp1"]
+    ztp1 = ztp1_full
     zsig = pap / paph_surf[None, :]
     trop_cond = (zsig[:-1] > 0.1) & (zsig[:-1] < 0.4) & (ztp1[:-1] > ztp1[1:])
     rev = trop_cond[::-1]
@@ -215,79 +389,6 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
     # ==================================================================
     # 3-6. THE VERTICAL SCAN (ref: 854-2775)
     # ==================================================================
-    land = fields["plsm"] > 0.5
-    ldcum, ktype = fields["ldcum"], fields["ktype"]
-
-    # The scan closes over the full (nlev, ncol) arrays and dynamic-slices the
-    # rows it needs (jk, jk-1, jk+1) — no shifted/stacked xs copies are ever
-    # materialized, which matters at benchmark sizes (dozens of ~90MB arrays).
-    # Out-of-range jk+1 reads clamp to the last row; every consumer masks them
-    # with `not_last`, mirroring the Fortran IF(JK<KLEV) guards.
-    closure = dict(
-        ztp1=ini["ztp1"], za=ini["za"], zaorig=ini["zaorig"],
-        zqsmix=ini["zqsmix"], zqsliq=ini["zqsliq"], zqsice=ini["zqsice"],
-        zfoeew=ini["zfoeew"], zfoeewmt=ini["zfoeewmt"],
-        zfoeeliqt=ini["zfoeeliqt"],
-        zfoealfa=zfoealfa, zli=ini["zli"],
-        zliqfrac=ini["zliqfrac"], zicefrac=ini["zicefrac"],
-        zfoeeliq=ini["zfoeeliq"], zfoeeice=ini["zfoeeice"],
-        zfokoop=ini["zfokoop"],
-        pap=pap, paph=paph,
-        # the scheme only ever consumes these summed (scheme.level_step) —
-        # hoisting the adds here is bitwise-neutral (same IEEE adds, once);
-        # folded inputs carry the load-time fp64 sums instead
-        pmf=fields["pmf"] if folded else fields["pmfu"] + fields["pmfd"],
-        zhr=fields["zhr"] if folded else fields["phrsw"] + fields["phrlw"],
-        pvervel=fields["pvervel"],
-        plude_in=fields["plude"], plu=fields["plu"], psnde=fields["psnde"],
-        psupsat=fields["psupsat"],
-        tend_t_pre=tend_t_full, tend_q_pre=tend_q_full,
-        pre_ice=fields["pre_ice"], picrit_aer=fields["picrit_aer"],
-        pnice=fields["pnice"], plcrit_aer=fields["plcrit_aer"],
-        pccn=fields["pccn"],
-    )
-    _zqx_full = ini["zqx"]
-
-    # Packed-closure scan (CLOUDSC_SCAN_PACKED=1): stack the per-level
-    # closure arrays into three buffers so each scan step issues FIVE
-    # dynamic-slices instead of ~40 — S (current-level-only rows), P (the
-    # three rows also read at jk-1), H (the three rows also read at jk+1,
-    # padded to nlev+1 rows by duplicating the last row, which reproduces
-    # the out-of-range clamp of the unpacked path bitwise). Stacking copies
-    # values and the unpack is static row indexing — the op sequence is
-    # identical; XLA's FMA-contraction choices in the rebuilt fusion
-    # clusters shift outputs by ≤1 contraction ulp (5.5e-15 max rel
-    # measured, tests/test_invariance.py; fp64 goldens hold). A measured-
-    # schedule knob like the kernel's packed storage (ref: the hoisted-
-    # temporaries driver variant, cloudsc_driver_gpu_scc_hoist_mod.F90:136-169).
-    scan_packed = os.environ.get("CLOUDSC_SCAN_PACKED", "0") == "1"
-    if scan_packed:
-        _P_ROWS = ("ztp1", "za", "pap")
-        _H_ROWS = ("paph", "pmf", "plu")
-        # aerosol rows only when the coupling reads them (same conditions
-        # as the make_x reads below) — stacking disabled rows would burn
-        # ~90 MB/row of copy + per-level slice bandwidth for nothing
-        _unread = set()
-        if not c.LAERICESED:
-            _unread.add("pre_ice")
-        if not c.LAERICEAUTO:
-            _unread.update(("picrit_aer", "pnice"))
-        if not (c.LAERLIQAUTOLSP or c.LAERLIQCOLL):
-            _unread.update(("plcrit_aer", "pccn"))
-        _S_ROWS = [n for n in closure
-                   if n not in _P_ROWS + _H_ROWS and n not in _unread] + \
-                  [f"zqx{m}" for m in range(NCLV)]
-        _S_IDX = {n: i for i, n in enumerate(_S_ROWS)}
-        _stack_s = jnp.stack(
-            [closure[n] for n in _S_ROWS[:-NCLV]]
-            + [_zqx_full[m] for m in range(NCLV)], axis=1
-        )  # (nlev, R, ncol)
-        _stack_p = jnp.stack([closure[n] for n in _P_ROWS], axis=1)
-        _stack_h = jnp.stack(
-            [jnp.concatenate([v, v[-1:]], axis=0) if v.shape[0] == nlev
-             else v for v in (closure[n] for n in _H_ROWS)], axis=1
-        )  # (nlev+1, 3, ncol)
-
     def make_x(k):
         """Per-level view: rows at jk (and jk-1 / jk+1 where the scheme needs)."""
         if scan_packed:
@@ -298,8 +399,8 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
             hk = jax.lax.dynamic_index_in_dim(_stack_h, k, 0, keepdims=False)
             hkp = jax.lax.dynamic_index_in_dim(
                 _stack_h, k + 1, 0, keepdims=False)
-            _pi = {n: i for i, n in enumerate(_P_ROWS)}
-            _hi = {n: i for i, n in enumerate(_H_ROWS)}
+            _pi = {n: i for i, n in enumerate(_SCAN_P_ROWS)}
+            _hi = {n: i for i, n in enumerate(_SCAN_H_ROWS)}
 
             def row(name, off=0):
                 if name in _pi:
@@ -387,7 +488,7 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
 
     xs = jnp.arange(ktop, nlev, dtype=jnp.int32)
     sl = slice(ktop, nlev)
-    carry0 = scheme.initial_carry(pt[0], c)
+    carry0 = scheme.initial_carry(ztp1_full[0], c)
 
     def step(carry, k):
         new_carry, ys = scheme.level_step(make_x(k), carry, c)
@@ -414,7 +515,7 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
     # assemble full-level arrays
     # ==================================================================
     zqxn2d = [zeros2.at[sl].set(ys["zqxn"][:, m]) for m in range(NCLV)]
-    plude = fields["plude"].at[sl].set(ys["plude"])
+    plude = plude_in_full.at[sl].set(ys["plude"])
     pcovptot = zeros2.at[sl].set(ys["pcovptot"])
     tend_t = tend_t_full.at[sl].set(ys["tend_t"])
     tend_q = tend_q_full.at[sl].set(ys["tend_q"])
@@ -438,7 +539,6 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
     pfplsn = zpfplsx[:, IS] + zpfplsx[:, II]
 
     zgdph_r = -c.zrg_r * (paph[1:] - paph[:-1]) * zqtmst  # (nlev, ncol)
-    pvfl, pvfi = fields["pvfl"], fields["pvfi"]
     liq_inc = (
         zqxn2d[IL] - zqx0[IL] + pvfl * ptsphy - zfoealfa * plude
     ) * zgdph_r

@@ -72,6 +72,15 @@ class CloudscDriver:
             self.backend == "pallas"
             and os.environ.get("CLOUDSC_PACKED_STORAGE", "1") != "0"
         )
+        # packed-closure scan (CLOUDSC_SCAN_PACKED=1, xla backend): prepare()
+        # pre-stacks the scan closure ONCE (physics.cloudsc.scan_pack) so the
+        # step issues 5 dynamic-slices per level instead of ~40 — without the
+        # per-iteration stack rebuild that made the in-step variant lose
+        # (bench/lab18_scanpack.log)
+        self.scan_packed = (
+            self.backend == "xla" and self.mesh is None
+            and os.environ.get("CLOUDSC_SCAN_PACKED", "0") == "1"
+        )
         # folded packed layout (CLOUDSC_FOLD_INPUTS): the section-1 state
         # accumulation + always-summed input pairs fold at load time (fp64,
         # file width), cutting the kernel's streamed input rows ~1/3
@@ -232,6 +241,15 @@ class CloudscDriver:
                 pad = [(0, 0)] * (v.ndim - 1) + [(0, target - ncol)]
                 padded[k] = jax.numpy.pad(v, pad)
             fields = padded
+        if self.scan_packed:
+            # pack once, on device, outside any timed loop (the scan
+            # analogue of the Pallas pack above)
+            from ..physics.cloudsc import scan_pack
+
+            fields = jax.jit(
+                lambda f: scan_pack(f, self.params, self.ptsphy,
+                                    self.scheme_config)
+            )(fields)
         return fields, ncol
 
     def _ungroup(self, out, inp, ncol: int):
@@ -277,6 +295,17 @@ class CloudscDriver:
                 return fs
 
             dep = "col"
+        elif self.scan_packed:
+            def body(_, fs):
+                out = call(fs)
+                fs = dict(fs)
+                # tiny (ncol,) zero buffer consumed by cloudsc() through
+                # paph_surf — a real loop-carried dependency that never
+                # perturbs values (0.0 * x, then + 0.0 onto positive paph)
+                fs["dep"] = fs["dep"] + 0.0 * out.prainfrac_toprfz
+                return fs
+
+            dep = "dep"
         else:
             def body(_, fs):
                 out = call(fs)
