@@ -301,8 +301,15 @@ class CloudscDriver:
                 fs = dict(fs)
                 # tiny (ncol,) zero buffer consumed by cloudsc() through
                 # paph_surf — a real loop-carried dependency that never
-                # perturbs values (0.0 * x, then + 0.0 onto positive paph)
-                fs["dep"] = fs["dep"] + 0.0 * out.prainfrac_toprfz
+                # perturbs values (0.0 * x, then + 0.0 onto positive paph).
+                # The threaded output MUST itself depend on paph_surf, or
+                # XLA hoists the whole live computation out of the loop and
+                # the chain measures one step instead of `iterations`
+                # (prainfrac_toprfz is input-only — threading it measured a
+                # bogus 10x, bench/lab24_scanprepack.log pairs 1-2).
+                # tendency_loc_t's last level depends on paph_surf (s34c
+                # zsigk) and on every level's carry chain.
+                fs["dep"] = fs["dep"] + 0.0 * out.tendency_loc_t[-1]
                 return fs
 
             dep = "dep"
