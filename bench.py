@@ -194,9 +194,17 @@ def _measure(backend: str, on_tpu: bool) -> dict:
     if getattr(driver, "tile_major", False):
         layout += "+tm"
     try:
-        from cloudsc_tpu.kernels.pallas_cloudsc import fold_outputs_enabled
+        from cloudsc_tpu.kernels.pallas_cloudsc import (
+            fold_curves_enabled,
+            fold_newton_enabled,
+            fold_outputs_enabled,
+        )
         if driver.backend == "pallas" and fold_outputs_enabled():
             layout += "+foldo"
+        if driver.backend == "pallas" and fold_curves_enabled():
+            layout += "+fc"
+        if driver.backend == "pallas" and fold_newton_enabled():
+            layout += "+fn"
     except Exception:
         pass
     return {
@@ -311,12 +319,15 @@ def main() -> int:
     # default VALUE still counts as the default configuration (advisor r3).
     try:
         from cloudsc_tpu.kernels.pallas_cloudsc import (
+            FOLD_CURVES_DEFAULT,
             FOLD_DEFAULT,
+            FOLD_NEWTON_DEFAULT,
             FOLD_OUTPUTS_DEFAULT,
             TILE_MAJOR_DEFAULT,
         )
     except Exception:
         FOLD_DEFAULT, FOLD_OUTPUTS_DEFAULT, TILE_MAJOR_DEFAULT = "0", "0", "0"
+        FOLD_CURVES_DEFAULT, FOLD_NEWTON_DEFAULT = "0", "0"
     knob_defaults = {
         "CLOUDSC_BENCH_BACKEND": "auto",
         "CLOUDSC_BENCH_NGPTOT": "163840",
@@ -329,6 +340,8 @@ def main() -> int:
         "CLOUDSC_FOLD_INPUTS": FOLD_DEFAULT,
         "CLOUDSC_TILE_MAJOR": TILE_MAJOR_DEFAULT,
         "CLOUDSC_FOLD_OUTPUTS": FOLD_OUTPUTS_DEFAULT,
+        "CLOUDSC_FOLD_CURVES": FOLD_CURVES_DEFAULT,
+        "CLOUDSC_FOLD_NEWTON": FOLD_NEWTON_DEFAULT,
         "CLOUDSC_SCAN_PACKED": "0",
         "CLOUDSC_SCAN_UNROLL": "",
     }

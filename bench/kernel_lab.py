@@ -76,6 +76,16 @@ def main() -> int:
                         "run instead of lps*nrows 16 kB runs "
                         "(pack_to_tile_major; bench/dma_probe.py measures "
                         "the synthetic ceiling)")
+    p.add_argument("--foldc", type=int, nargs="+", default=[-1],
+                   help="folded saturation-curve rows to sweep (0/1; -1 = "
+                        "the CLOUDSC_FOLD_CURVES env default): stream "
+                        "section-1's saturation block (9 rows) instead of "
+                        "computing its 2 exp + 8 divides per level "
+                        "(physics/satfold.py)")
+    p.add_argument("--foldn", type=int, nargs="+", default=[-1],
+                   help="folded 3.4b Newton row to sweep (0/1; -1 = the "
+                        "CLOUDSC_FOLD_NEWTON env default): stream ZDQS "
+                        "instead of the in-kernel CUADJTQ")
     p.add_argument("--foldo", type=int, nargs="+", default=[-1],
                    help="folded OUTPUT rows to sweep (0/1; -1 = the "
                         "CLOUDSC_FOLD_OUTPUTS env default): drop the 4 "
@@ -106,14 +116,20 @@ def main() -> int:
         params = Params.from_input(inp)
         from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs_raw
 
-        for sb, lps, order, fold, tilem, foldo in (
-            (s, l, o, fl, tm, fo) for s in a.sb for l in a.lps
+        for sb, lps, order, fold, tilem, foldo, foldc, foldn in (
+            (s, l, o, fl, tm, fo, fcv, fnv) for s in a.sb for l in a.lps
             for o in a.order for fl in a.fold for tm in a.tilem
-            for fo in a.foldo
+            for fo in a.foldo for fcv in a.foldc for fnv in a.foldn
         ):
             # lps must be pinned BEFORE packing: the pad-row decision at pack
             # time (_lps_for) has to agree with the kernel's level blocking
             os.environ["CLOUDSC_PALLAS_LPS"] = str(lps)
+            # fc/fn likewise decide the pack layout at pack time (the kernel
+            # infers them back from the pack's row count)
+            if foldc >= 0:
+                os.environ["CLOUDSC_FOLD_CURVES"] = str(foldc)
+            if foldn >= 0:
+                os.environ["CLOUDSC_FOLD_NEWTON"] = str(foldn)
             perm = None
             if order == "sorted":
                 from cloudsc_tpu.data.expand import activity_perm
@@ -185,7 +201,7 @@ def main() -> int:
                 rec = dict(ngptot=ngptot, sb=sb, lps=lps, mode=mode,
                            order=order, skip=skip,
                            fold=("nxt" not in packed), tilem=bool(tilem),
-                           foldo=foldo,
+                           foldo=foldo, foldc=foldc, foldn=foldn,
                            ms_per_step=round(per_iter * 1e3, 3),
                            cols_per_s=round(cols_s, 0),
                            compile_s=round(compile_s, 1))

@@ -111,7 +111,8 @@ def pallas_supported(params, config=None) -> bool:
             "auto backend falls back to the scan engine"
         )
         return False
-    key = (repr(config), aer, fold, tilem, fold_outputs_enabled())
+    key = (repr(config), aer, fold, tilem, fold_outputs_enabled(),
+           fold_curves_enabled(), fold_newton_enabled())
     hit = _PROBE_CACHE.get(key)
     if hit is not None:
         return hit
@@ -123,7 +124,8 @@ def pallas_supported(params, config=None) -> bool:
         f32 = jnp.float32
         S = jax.ShapeDtypeStruct
         if fold:
-            nrows = len(_PACK_ROWS_F) + len(aer)
+            nrows = len(_pack_rows_f(fold_curves_enabled(),
+                                     fold_newton_enabled())) + len(aer)
             if tilem:
                 lps = _lps_for(nlev)
                 nk2 = (nlev + 1) // lps
@@ -223,6 +225,46 @@ def fold_enabled() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Folded saturation curves / Newton (CLOUDSC_FOLD_CURVES, CLOUDSC_FOLD_NEWTON)
+# — the compute-side extension of the fold, motivated by the overlap verdict
+# (docs/PERFORMANCE.md): the kernel is COMPUTE-bound, its stream hides fully
+# under the VPU time, so input-only per-level computations can move to load
+# time (fp64, file width — physics/satfold.py) and ride the nearly-free
+# stream as extra rows:
+#   curves  +9 rows — section 1's saturation block (2 exp + 8 divides/level)
+#   newton  +1 row  — the 3.4b forcing + 2-iteration CUADJTQ
+#           (4 exp + ~10 divides/level), which exists solely to produce ZDQS
+# Both require the folded layout. Defaults OFF until the on-device
+# interleaved A/B lands (bench/lab25_satfold.log).
+# ---------------------------------------------------------------------------
+_CURVE_PACK_ROWS = ("zqsmix", "zqsliq", "zqsice", "zfoeew", "zfoeewmt",
+                    "zfoeeliqt", "zfokoop", "zfoeeliq", "zfoeeice")
+FOLD_CURVES_DEFAULT = "0"
+FOLD_NEWTON_DEFAULT = "0"
+
+
+def fold_curves_enabled() -> bool:
+    return (fold_enabled() and os.environ.get(
+        "CLOUDSC_FOLD_CURVES", FOLD_CURVES_DEFAULT) == "1")
+
+
+def fold_newton_enabled() -> bool:
+    return (fold_enabled() and os.environ.get(
+        "CLOUDSC_FOLD_NEWTON", FOLD_NEWTON_DEFAULT) == "1")
+
+
+def _pack_rows_f(fc: bool = False, fn: bool = False) -> list:
+    """Folded-layout row order: base rows, then the optional curve/zdqs
+    rows, then (appended by the callers) the aerosol rows."""
+    rows = list(_PACK_ROWS_F)
+    if fc:
+        rows += list(_CURVE_PACK_ROWS)
+    if fn:
+        rows.append("zdqs")
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # Tile-major packed layout (CLOUDSC_TILE_MAJOR) — the DMA-contiguity attack.
 #
 # The standard folded pack is (nlev+1, nrows, nblk, LANES): each grid step's
@@ -292,14 +334,18 @@ def pack_to_tile_major(p: dict, sublanes: int):
     return dict(pack=tm, col=p["col"])
 
 
-def _unpack_inputs(ins, packed, aer, sub, lps, fold=False, tilem=False):
+def _unpack_inputs(ins, packed, aer, sub, lps, fold=False, tilem=False,
+                   fc=False, fn=False):
     """-> (r, (pmf_n, plu_n), (paph_k, paph_k1), (plsm, ldcum, ktype,
     paph_surf)) as (SB, 128) arrays for sub-level `sub` of an lps-level block.
     `aer` lists the extra per-level aerosol fields appended to the layout.
-    The nxt trio is pre-summed: pmf_n = (pmfu+pmfd) at k+1."""
+    The nxt trio is pre-summed: pmf_n = (pmfu+pmfd) at k+1. fc/fn select the
+    folded-curves / folded-newton row extensions (_pack_rows_f)."""
     if fold:
         pack, look, col = ins
-        nr = len(_PACK_ROWS_F) + len(aer)
+        prows = _pack_rows_f(fc, fn)
+        pidx = {name: i for i, name in enumerate(prows)}
+        nr = len(prows) + len(aer)
         if tilem:
             # tile-major block (1, 1, lps*nrows, SB, LANES): sub-level rows
             # are consecutive nr-row groups of one contiguous run
@@ -308,16 +354,20 @@ def _unpack_inputs(ins, packed, aer, sub, lps, fold=False, tilem=False):
         else:
             P = lambda s, idx: pack[s, idx]               # noqa: E731
             L = lambda j: look[0, j]                      # noqa: E731
-        r = {name: P(sub, _PACK_IDX_F[name])
-             for name in ("pmf", "plu", "pap", "pvervel", "zhr",
-                          "plude", "psnde", "psupsat", "pvfl", "pvfi",
-                          "ztp1_in", "zqv_in", "za_in")}
+        names = ["pmf", "plu", "pap", "pvervel", "zhr",
+                 "plude", "psnde", "psupsat", "pvfl", "pvfi",
+                 "ztp1_in", "zqv_in", "za_in"]
+        if fc:
+            names += list(_CURVE_PACK_ROWS)
+        if fn:
+            names.append("zdqs")
+        r = {name: P(sub, pidx[name]) for name in names}
         r["zqx_cld_in"] = [
-            P(sub, _PACK_IDX_F[f"zqx{m}_in"]) for m in range(4)
+            P(sub, pidx[f"zqx{m}_in"]) for m in range(4)
         ]
         for j, name in enumerate(aer):
-            r[name] = P(sub, len(_PACK_ROWS_F) + j)
-        paph_k = P(sub, _PACK_IDX_F["paph"])
+            r[name] = P(sub, len(prows) + j)
+        paph_k = P(sub, pidx["paph"])
         if sub < lps - 1:  # the k+1 row lives inside the current block
             nxts = (P(sub + 1, _PACK_IDX_F["pmf"]),
                     P(sub + 1, _PACK_IDX_F["plu"]))
@@ -391,7 +441,8 @@ def _oh_map(foldo: bool) -> dict:
 _OH = _oh_map(False)
 
 
-def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, foldo, *refs):
+def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, foldo, fc, fn,
+            *refs):
     aer = _aer_rows(c)
     nin = (3 if fold else 5) if packed else (
         len(_IN_STREAMED) + 3 + 2 + 2 + 4 + len(aer)
@@ -412,7 +463,7 @@ def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, foldo, *refs):
         oi_lev, oi_half = _out_indexers(tilem, foldo)
         for sub in range(lps):
             raw, _, _, _ = _unpack_inputs(ins, packed, aer, sub, lps, fold,
-                                          tilem)
+                                          tilem, fc, fn)
             if mode == "floor":
                 v = (raw["ztp1_in"] + raw["zqv_in"]) if fold else (
                     raw["pt"] + raw["pq"]
@@ -447,14 +498,14 @@ def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, foldo, *refs):
         for sub in range(lps):
             _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
                        ins, o_lev, o_half, o_prainfrac, scr, aer, fold,
-                       tilem, foldo, full=False)
+                       tilem, foldo, fc, fn, full=False)
 
     @pl.when(jnp.logical_not(above_top))
     def _full():
         for sub in range(lps):
             _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
                        ins, o_lev, o_half, o_prainfrac, scr, aer, fold,
-                       tilem, foldo, full=True)
+                       tilem, foldo, fc, fn, full=True)
 
 
 def _out_indexers(tilem, foldo=False):
@@ -469,7 +520,7 @@ def _out_indexers(tilem, foldo=False):
 
 def _sub_level(c, nlev, ktop, packed, lps, sub, k,
                ins, o_lev, o_half, o_prainfrac, scr, aer, fold, tilem, foldo,
-               full=True):
+               fc=False, fn=False, full=True):
     zqtmst, ptsphy = c.zqtmst, c.ptsphy
     oi_lev, oi_half = _out_indexers(tilem, foldo)
     oh = _oh_map(foldo)
@@ -506,7 +557,7 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
     @pl.when(k < nlev)
     def _level():
         raw, nxts, paphs, cols = _unpack_inputs(ins, packed, aer, sub, lps,
-                                                fold, tilem)
+                                                fold, tilem, fc, fn)
         pmf_n, plu_n = nxts
         paph_k, paph_k1 = paphs
         plsm, ldcum_b, ktype_i, paph_surf = cols
@@ -558,6 +609,10 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
         )
         for name in aer:
             x[name] = raw[name]
+        if fn:
+            # folded Newton: the streamed ZDQS row replaces the in-kernel
+            # 3.4b forcing + CUADJTQ (scheme.level_step dispatches on the key)
+            x["zdqs"] = raw["zdqs"]
         carry = dict(
             zanewm1=scr[_S_ZANEWM1],
             zqxnm1=[scr[_S_ZQXNM1 + m] for m in range(NCLV)],
@@ -674,7 +729,7 @@ def _lps_for(nlev: int) -> int:
 
 def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
            packed=False, config=None, mode="full", lps_cap=None, fold=False,
-           tilem=False, lps_force=None, foldo=False):
+           tilem=False, lps_force=None, foldo=False, fc=False, fn=False):
     c = scheme.derived_consts(params, ptsphy, dtype, config)
     ktop = c.NCLDTOP - 1
     SB = sublanes
@@ -730,7 +785,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         # lookahead reads rows 0-2 (pmf/plu/paph) of block k+1's first
         # sub-level; at the final grid step the clamp reuses block nk2-1 —
         # only the never-consumed pad sub-level sees those values.
-        nrows = len(_PACK_ROWS_F) + len(aer)
+        nrows = len(_pack_rows_f(fc, fn)) + len(aer)
         lookb = lambda k: jnp.minimum(k + 1, nk2 - 1)
         if mode == "resident":
             in_specs = [
@@ -760,7 +815,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         # lookahead block over the SAME array, and the resident per-column
         # block. paph lives in the pack (its real nlev+1-th row doubles as
         # the lps pad row). 2 input DMAs per grid step.
-        nrows = len(_PACK_ROWS_F) + len(aer)
+        nrows = len(_pack_rows_f(fc, fn)) + len(aer)
         look = lambda k: jnp.minimum(lps * (k + 1), nlev)
         if mode == "resident":
             in_specs = [
@@ -883,7 +938,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         ]
 
     kernel = functools.partial(_kernel, c, nlev, ktop, packed, lps, mode,
-                               fold, tilem, foldo)
+                               fold, tilem, foldo, fc, fn)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -898,14 +953,19 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
     )
 
 
-def _folded_rows(get, ptsphy) -> dict:
+def _folded_rows(get, ptsphy, c=None, fc: bool = False,
+                 fn: bool = False) -> dict:
     """The folded per-level rows (name -> array) from a raw-field accessor
     `get(NAME[, species])`. On the load path `get` returns fp64 file-width
     arrays, so every fold is computed in fp64 and rounded ONCE by the later
     working-precision cast — strictly at least as accurate as the in-kernel
     working-precision arithmetic it replaces (ref: cloudsc.F90:662-682 for
-    the tendency accumulation; 1145/1288-1289 for the always-summed pairs)."""
-    return {
+    the tendency accumulation; 1145/1288-1289 for the always-summed pairs).
+
+    fc/fn additionally fold the saturation curves / 3.4b Newton ZDQS
+    (physics/satfold.py — the compute-side fold; requires `c` from
+    scheme.derived_consts for the thermodynamic constants)."""
+    rows = {
         "pmf": get("PMFU") + get("PMFD"),
         "plu": get("PLU"),
         "paph": get("PAPH"),
@@ -925,6 +985,22 @@ def _folded_rows(get, ptsphy) -> dict:
             for m in range(4)
         },
     }
+    if fc or fn:
+        from ..physics import satfold
+
+        if c is None:
+            raise ValueError(
+                "folded curves/newton rows need derived_consts (params)"
+            )
+        curves = satfold.curve_rows(c, rows["ztp1_in"], rows["pap"])
+        if fc:
+            rows.update(curves)
+        if fn:
+            rows["zdqs"] = satfold.newton_zdqs(
+                c, rows["ztp1_in"], rows["pap"], rows["paph"], rows["pmf"],
+                rows["zhr"], rows["pvervel"], curves["zqsmix"],
+            )
+    return rows
 
 
 def _pack_expand_numpy(rows, ncol, target, nlev_rows, grouped, dtype):
@@ -1162,9 +1238,13 @@ def _pack_inputs_raw_folded(inp, sublanes, params, config, dtype, grouped,
     nblk = target // LANES
     dt = jnp.dtype(dtype)
     aer = []
+    c = None
     if params is not None:
-        c = scheme.derived_consts(params, 1.0, dt, config)
+        c = scheme.derived_consts(params, float(inp.ptsphy), dt, config)
         aer = _aer_rows(c)
+    fc, fn = fold_curves_enabled(), fold_newton_enabled()
+    if (fc or fn) and c is None:
+        raise ValueError("folded curves/newton packs require params")
 
     def _p(a):
         return a if column_perm is None else a[..., column_perm]
@@ -1173,8 +1253,9 @@ def _pack_inputs_raw_folded(inp, sublanes, params, config, dtype, grouped,
         a = f[name] if m is None else f[name][m]
         return _p(np.asarray(a, np.float64))
 
-    fr = _folded_rows(get, float(inp.ptsphy))
-    rows = [fr[n] for n in _PACK_ROWS_F] + [get(n.upper()) for n in aer]
+    fr = _folded_rows(get, float(inp.ptsphy), c=c, fc=fc, fn=fn)
+    rows = [fr[n] for n in _pack_rows_f(fc, fn)] + \
+        [get(n.upper()) for n in aer]
     col_rows = [get("PLSM"), get("LDCUM"), get("KTYPE"),
                 _p(np.asarray(f["PAPH"], np.float64)[nlev])]
 
@@ -1213,7 +1294,9 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
                    sublanes: int = 32, interpret: bool = False,
                    packed=False, ncol_packed: int | None = None,
                    config=None, _mode: str = "full",
-                   fold_outputs: bool | None = None) -> CloudscOutputs:
+                   fold_outputs: bool | None = None,
+                   fold_curves: bool | None = None,
+                   fold_newton: bool | None = None) -> CloudscOutputs:
     """Run the fused kernel; same contract as physics.cloudsc (jit-able).
 
     Columns are padded (edge-replicated so padded lanes stay finite) to a
@@ -1241,6 +1324,9 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
         tilem = fold and p["pack"].ndim == 5
         dtype = p["pack"].dtype
         lps_force = None
+        fc = fold_curves_enabled() if fold_curves is None else fold_curves
+        fn = fold_newton_enabled() if fold_newton is None else fold_newton
+        fc, fn = fold and fc, fold and fn
         if tilem:
             nk2, ni, rows3, sb_arr, _ = p["pack"].shape
             if sb_arr != sublanes:
@@ -1249,11 +1335,34 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
                     f"kernel requested {sublanes}"
                 )
             c_tmp = scheme.derived_consts(params, 1.0, dtype, config)
-            nrows = len(_PACK_ROWS_F) + len(_aer_rows(c_tmp))
+            nrows = len(_pack_rows_f(fc, fn)) + len(_aer_rows(c_tmp))
+            if rows3 % nrows != 0:
+                raise ValueError(
+                    f"tile-major pack has {rows3} rows/step which is not a "
+                    f"multiple of the fold_curves={fc}/fold_newton={fn} "
+                    f"layout ({nrows} rows/level) — the pack was built "
+                    f"under different CLOUDSC_FOLD_CURVES/NEWTON flags"
+                )
             lps_force = rows3 // nrows
             nblk = ni * sb_arr
         else:
             nblk = p["pack"].shape[2]
+            if fold:
+                # the 4-D pack states its layout directly: infer the
+                # curve/newton extension from the row count (9 / 1 extra
+                # rows) so a pack built under different env flags is
+                # consumed correctly rather than misindexed
+                c_tmp = scheme.derived_consts(params, 1.0, dtype, config)
+                extra = p["pack"].shape[1] - len(_PACK_ROWS_F) \
+                    - len(_aer_rows(c_tmp))
+                known = {0: (False, False), 1: (False, True),
+                         9: (True, False), 10: (True, True)}
+                if extra not in known:
+                    raise ValueError(
+                        f"folded pack has {extra} extra rows beyond the "
+                        f"base layout; expected one of {sorted(known)}"
+                    )
+                fc, fn = known[extra]
         target = nblk * LANES
         if ncol is None:
             ncol = target
@@ -1273,7 +1382,8 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
             args = [p["pack"], p["nxt"], p["paph"], p["paph"], p["col"]]
         call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
                       packed=True, config=config, mode=_mode, lps_cap=lps_cap,
-                      fold=fold, tilem=tilem, lps_force=lps_force, foldo=foldo)
+                      fold=fold, tilem=tilem, lps_force=lps_force, foldo=foldo,
+                      fc=fc, fn=fn)
         res = call(*args)
         aux = None
         if foldo:

@@ -58,7 +58,8 @@ class CloudscOutputs(NamedTuple):
 
 def make_inputs(inp, dtype=jnp.float64, host: bool = False,
                 column_order: str = "cyclic", column_perm=None,
-                fold: bool = False) -> dict:
+                fold: bool = False, fold_curves: bool = False,
+                fold_newton: bool = False, params=None) -> dict:
     """Convert a loaded InputData into the field dict cloudsc() consumes.
 
     host=True keeps the arrays in numpy (no device transfer) — used by the
@@ -80,7 +81,13 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
     values the folded pack streams, so a folded scan run is the oracle for
     the folded kernel. Folded dicts replace pt/pq/pa/pclv/tendency_tmp_*
     with ztp1_in/zqv_in/za_in/zqx_cld_in and pmfu+pmfd / phrsw+phrlw with
-    pmf / zhr."""
+    pmf / zhr.
+
+    fold_curves / fold_newton (require fold and `params`) additionally emit
+    the folded saturation-curve rows and the 3.4b Newton ZDQS row
+    (physics/satfold.py) — the oracle contract for the CLOUDSC_FOLD_CURVES /
+    CLOUDSC_FOLD_NEWTON kernel layouts; cloudsc() consumes the extra keys
+    through level_init/level_step directly."""
     import numpy as np
 
     from ..data.expand import expand_field
@@ -118,6 +125,24 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
             "pmf": cast(f64("PMFU") + f64("PMFD")),
             "zhr": cast(f64("PHRSW") + f64("PHRLW")),
         }
+        if fold_curves or fold_newton:
+            from . import scheme as _scheme
+            from . import satfold
+
+            if params is None:
+                raise ValueError("fold_curves/fold_newton need params")
+            c64 = _scheme.derived_consts(params, dt64, np.float64)
+            ztp1_64 = f64("PT") + dt64 * f64("TENDENCY_TMP_T")
+            curves = satfold.curve_rows(c64, ztp1_64, f64("PAP"))
+            if fold_curves:
+                for name, row in curves.items():
+                    folded[name] = cast(row)
+            if fold_newton:
+                folded["zdqs"] = cast(satfold.newton_zdqs(
+                    c64, ztp1_64, f64("PAP"), f64("PAPH"),
+                    f64("PMFU") + f64("PMFD"), f64("PHRSW") + f64("PHRLW"),
+                    f64("PVERVEL"), curves["zqsmix"],
+                ))
         rest = {
             k: cast(n) for k, n in (
                 ("pvfl", "PVFL"), ("pvfi", "PVFI"),
@@ -228,6 +253,13 @@ def _scan_front(fields: dict, params, ptsphy: float, config):
             zqx_cld_in=[fields["zqx_cld_in"][m] for m in range(4)],
             pap=fields["pap"],
         )
+        if "zqsmix" in fields:
+            # folded saturation curves (make_inputs fold_curves=True):
+            # level_init consumes the precomputed rows directly
+            from .satfold import CURVE_ROWS
+
+            for name in CURVE_ROWS:
+                raw[name] = fields[name]
     else:
         raw = dict(
             pt=pt, pq=fields["pq"], pa=fields["pa"], pap=fields["pap"],
@@ -267,6 +299,10 @@ def _scan_front(fields: dict, params, ptsphy: float, config):
         pnice=fields["pnice"], plcrit_aer=fields["plcrit_aer"],
         pccn=fields["pccn"],
     )
+    if "zdqs" in fields:
+        # folded Newton (make_inputs fold_newton=True): streamed per-level
+        # row consumed by level_step in place of the 3.4b CUADJTQ
+        closure["zdqs"] = fields["zdqs"]
     aux = dict(
         zqx0=ini["zqx0"], zlneg=ini["zlneg"], zfoealfa=ini["zfoealfa"],
         tend_t_full=ini["tend_t_pre"], tend_q_full=ini["tend_q_pre"],
@@ -293,6 +329,11 @@ def scan_pack(fields: dict, params, ptsphy: float, config=None) -> dict:
     S-stack aerosol row set depends on it (_scan_s_rows)."""
     c, nlev, ncol, dtype, closure, zqx_full, aux = _scan_front(
         fields, params, ptsphy, config)
+    if "zdqs" in closure or "zqsmix" in fields:
+        raise ValueError(
+            "scan_pack does not support folded-curves/newton field dicts "
+            "(the stacks have no rows for them)"
+        )
     stack_s, stack_p, stack_h = _scan_stacks(closure, zqx_full, c, nlev)
     return dict(
         stack_s=stack_s, stack_p=stack_p, stack_h=stack_h,
@@ -363,6 +404,12 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
         paph_surf = paph[nlev]
         land, ldcum, ktype = aux["land"], aux["ldcum"], aux["ktype"]
         if scan_packed:
+            if "zdqs" in closure or "zqsmix" in fields:
+                raise ValueError(
+                    "the packed-closure scan does not support folded-"
+                    "curves/newton field dicts (the stacks have no rows "
+                    "for them); unset CLOUDSC_SCAN_PACKED for the oracle"
+                )
             _stack_s, _stack_p, _stack_h = _scan_stacks(
                 closure, _zqx_full, c, nlev)
             _S_IDX = {n: i for i, n in enumerate(_scan_s_rows(c))}
@@ -484,6 +531,8 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
         if c.LAERLIQAUTOLSP or c.LAERLIQCOLL:
             x["plcrit_aer"] = row("plcrit_aer")
             x["pccn"] = row("pccn")
+        if closure is not None and "zdqs" in closure:
+            x["zdqs"] = row("zdqs")
         return x
 
     xs = jnp.arange(ktop, nlev, dtype=jnp.int32)

@@ -266,24 +266,40 @@ def level_init(raw: dict, c) -> dict:
     # subexpressions), but 8 fewer exp() per level on the hot path.
     pap = raw["pap"]
     zfoealfa = foealfa(ztp1, thf)
-    exp_liq = jnp.exp(thf.r3les * (ztp1 - cst.rtt) / (ztp1 - thf.r4les))
-    exp_ice = jnp.exp(thf.r3ies * (ztp1 - cst.rtt) / (ztp1 - thf.r4ies))
-    zfoeeliq = thf.r2es * exp_liq     # == foeeliq(ztp1)
-    zfoeeice = thf.r2es * exp_ice     # == foeeice(ztp1)
-    zfoeewmt = jnp.minimum(
-        thf.r2es * (zfoealfa * exp_liq + (1.0 - zfoealfa) * exp_ice) / pap, 0.5
-    )
-    zqsmix = zfoeewmt / (1.0 - RETV * zfoeewmt)
-    zdelta = foedelta(ztp1, cst)
-    zfoeew = jnp.minimum(
-        (zdelta * zfoeeliq + (1.0 - zdelta) * zfoeeice) / pap, 0.5
-    )
-    zfoeew = jnp.minimum(0.5, zfoeew)
-    zqsice = zfoeew / (1.0 - RETV * zfoeew)
-    zfoeeliqt = jnp.minimum(zfoeeliq / pap, 0.5)
-    zqsliq = zfoeeliqt / (1.0 - RETV * zfoeeliqt)
-    # Koop supersaturation limit (ref: fccld.func.h:27), reused in 3.1/3.7
-    zfokoop = jnp.minimum(thf.rkoop1 - thf.rkoop2 * ztp1, zfoeeliq / zfoeeice)
+    if "zqsmix" in raw:
+        # folded saturation curves (CLOUDSC_FOLD_CURVES): the whole block
+        # below was computed at LOAD time in fp64 (physics/satfold.py) and
+        # arrives as streamed rows — the kernel evaluates neither the two
+        # exponentials nor the eight divides. The engines stay aligned
+        # because both consume the identical rows (the fold input contract,
+        # tests/test_satfold.py).
+        zfoeeliq, zfoeeice = raw["zfoeeliq"], raw["zfoeeice"]
+        zfoeewmt, zqsmix = raw["zfoeewmt"], raw["zqsmix"]
+        zfoeew, zqsice = raw["zfoeew"], raw["zqsice"]
+        zfoeeliqt, zqsliq = raw["zfoeeliqt"], raw["zqsliq"]
+        zfokoop = raw["zfokoop"]
+    else:
+        exp_liq = jnp.exp(thf.r3les * (ztp1 - cst.rtt) / (ztp1 - thf.r4les))
+        exp_ice = jnp.exp(thf.r3ies * (ztp1 - cst.rtt) / (ztp1 - thf.r4ies))
+        zfoeeliq = thf.r2es * exp_liq     # == foeeliq(ztp1)
+        zfoeeice = thf.r2es * exp_ice     # == foeeice(ztp1)
+        zfoeewmt = jnp.minimum(
+            thf.r2es * (zfoealfa * exp_liq + (1.0 - zfoealfa) * exp_ice)
+            / pap, 0.5
+        )
+        zqsmix = zfoeewmt / (1.0 - RETV * zfoeewmt)
+        zdelta = foedelta(ztp1, cst)
+        zfoeew = jnp.minimum(
+            (zdelta * zfoeeliq + (1.0 - zdelta) * zfoeeice) / pap, 0.5
+        )
+        zfoeew = jnp.minimum(0.5, zfoeew)
+        zqsice = zfoeew / (1.0 - RETV * zfoeew)
+        zfoeeliqt = jnp.minimum(zfoeeliq / pap, 0.5)
+        zqsliq = zfoeeliqt / (1.0 - RETV * zfoeeliqt)
+        # Koop supersaturation limit (ref: fccld.func.h:27), reused in 3.1/3.7
+        zfokoop = jnp.minimum(
+            thf.rkoop1 - thf.rkoop2 * ztp1, zfoeeliq / zfoeeice
+        )
 
     # cloud fraction in [0,1]; liquid/ice split (ref: 786-808)
     za = jnp.maximum(0.0, jnp.minimum(1.0, za))
@@ -522,34 +538,45 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
             solqa[m][IV] = sadd(solqa[m][IV], -amt)
 
     # ---- 3.4b condensation/evaporation from dqsat/dt (ref: 1281-1325)
-    zdtdp = zrdcp * ztp1 / pap
-    zdpmxdt = zdp * zqtmst
-    zmfdn2 = madd(not_last, x["pmf_next"])
-    # (pmfu+pmfd)+zmfdn2 associates left-to-right in the Fortran (ref: 1288),
-    # so consuming the pre-summed pmf preserves the op order exactly
-    zwtot = x["pvervel"] + 0.5 * RG * (x["pmf"] + zmfdn2)
-    zwtot = jnp.minimum(zdpmxdt, jnp.maximum(-zdpmxdt, zwtot))
-    # x["zhr"] = PHRSW + PHRLW (ref: 1289 — only ever consumed summed)
-    zzzdt = x["zhr"]
-    zdtdiab = (
-        jnp.minimum(zdpmxdt * zdtdp, jnp.maximum(-zdpmxdt * zdtdp, zzzdt))
-        * ptsphy
-    )  # + RALFDCP*ZLDEFR, with ZLDEFR==0 (ref: 1290-1293)
-    zdtforc = zdtdp * zwtot * ptsphy + zdtdiab
-    tloc = jnp.maximum(ztp1 + zdtforc, 160.0)
-    qloc = zqsmix
-    zqp = 1.0 / pap
-    for _ in range(2):  # inlined CUADJTQ, 2 Newton iterations (ref: 1303-1319)
-        alfa_n = foealfa(tloc, thf)
-        zqsat = jnp.minimum(foeewm_a(tloc, alfa_n, cst, thf) * zqp, 0.5)
-        zcor_n = 1.0 / (1.0 - RETV * zqsat)
-        zqsat = zqsat * zcor_n
-        zcond = (qloc - zqsat) / (
-            1.0 + zqsat * zcor_n * foedem_a(tloc, alfa_n, thf)
-        )
-        tloc = tloc + foeldcpm_a(alfa_n, thf) * zcond
-        qloc = qloc - zcond
-    zdqs = qloc - zqsmix
+    if "zdqs" in x:
+        # folded Newton (CLOUDSC_FOLD_NEWTON): the forcing chain + the
+        # inlined 2-iteration CUADJTQ below are a pure function of the
+        # level INPUTS (ztp1/pap/paph/pmf/pmf_next/pvervel/zhr/zqsmix — no
+        # carries), evaluated at LOAD time in fp64 (physics/satfold.py)
+        # and streamed as ONE row; the whole block exists solely to
+        # produce ZDQS
+        zdqs = x["zdqs"]
+    else:
+        zdtdp = zrdcp * ztp1 / pap
+        zdpmxdt = zdp * zqtmst
+        zmfdn2 = madd(not_last, x["pmf_next"])
+        # (pmfu+pmfd)+zmfdn2 associates left-to-right in the Fortran
+        # (ref: 1288), so consuming the pre-summed pmf preserves the op
+        # order exactly
+        zwtot = x["pvervel"] + 0.5 * RG * (x["pmf"] + zmfdn2)
+        zwtot = jnp.minimum(zdpmxdt, jnp.maximum(-zdpmxdt, zwtot))
+        # x["zhr"] = PHRSW + PHRLW (ref: 1289 — only ever consumed summed)
+        zzzdt = x["zhr"]
+        zdtdiab = (
+            jnp.minimum(zdpmxdt * zdtdp, jnp.maximum(-zdpmxdt * zdtdp, zzzdt))
+            * ptsphy
+        )  # + RALFDCP*ZLDEFR, with ZLDEFR==0 (ref: 1290-1293)
+        zdtforc = zdtdp * zwtot * ptsphy + zdtdiab
+        tloc = jnp.maximum(ztp1 + zdtforc, 160.0)
+        qloc = zqsmix
+        zqp = 1.0 / pap
+        # inlined CUADJTQ, 2 Newton iterations (ref: 1303-1319)
+        for _ in range(2):
+            alfa_n = foealfa(tloc, thf)
+            zqsat = jnp.minimum(foeewm_a(tloc, alfa_n, cst, thf) * zqp, 0.5)
+            zcor_n = 1.0 / (1.0 - RETV * zqsat)
+            zqsat = zqsat * zcor_n
+            zcond = (qloc - zqsat) / (
+                1.0 + zqsat * zcor_n * foedem_a(tloc, alfa_n, thf)
+            )
+            tloc = tloc + foeldcpm_a(alfa_n, thf) * zcond
+            qloc = qloc - zcond
+        zdqs = qloc - zqsmix
 
     # 3.4a evaporation of clouds (ref: 1333-1356)
     evap_m = zdqs > 0.0
