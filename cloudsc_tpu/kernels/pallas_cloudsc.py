@@ -234,13 +234,24 @@ def fold_enabled() -> bool:
 #   curves  +9 rows — section 1's saturation block (2 exp + 8 divides/level)
 #   newton  +1 row  — the 3.4b forcing + 2-iteration CUADJTQ
 #           (4 exp + ~10 divides/level), which exists solely to produce ZDQS
-# Both require the folded layout. Defaults OFF until the on-device
-# interleaved A/B lands (bench/lab25_satfold.log).
+# Both require the folded layout. On-device verdict (bench/lab25_satfold.log,
+# interleaved, lps=6/SB=32/tilem/foldo):
+#   newton: DEFAULT ON — kernel_lab full 8.30/8.50 -> 7.82 ms (fn-only,
+#     −0.55..0.68 ms ≈ the whole in-kernel Newton), floor 5.10 -> 5.30 ms
+#     (+0.2 ms, the 1-row stream cost, still hidden); bench.py 19.31 ->
+#     21.09/20.93 M cols/s (+8.5%, the round-5b metric of record).
+#   curves: DEFAULT OFF (measured LOSS) — fc-only full 8.88 ms, (1,1)
+#     8.58-8.80 vs (0,0) 8.30-8.50; same at lps=3 (9.00 vs 7.89 with fn),
+#     so it is not block-size pressure: the 9-row stream+window cost
+#     (~0.12 ms/row at the floor) exceeds the ~2-exp/8-divide compute it
+#     removes. Kept as a measured-and-rejected knob.
+# The ops-per-row ratio decides: the Newton folds ~60 sequential ops into
+# ONE row; the curves fold ~6 ops into each of 9 rows.
 # ---------------------------------------------------------------------------
 _CURVE_PACK_ROWS = ("zqsmix", "zqsliq", "zqsice", "zfoeew", "zfoeewmt",
                     "zfoeeliqt", "zfokoop", "zfoeeliq", "zfoeeice")
 FOLD_CURVES_DEFAULT = "0"
-FOLD_NEWTON_DEFAULT = "0"
+FOLD_NEWTON_DEFAULT = "1"
 
 
 def fold_curves_enabled() -> bool:
@@ -1073,7 +1084,35 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None,
             return xp.asarray(a, dtype)
 
         fr = _folded_rows(get, np.dtype(dtype).type(ptsphy))
-        rows = [fr[n] for n in _PACK_ROWS_F]
+        fc, fn = fold_curves_enabled(), fold_newton_enabled()
+        if fc or fn:
+            # the curve/newton rows follow the env layout so this surface
+            # stays consistent with the kernel's row-count inference; they
+            # are computed at fp64 like the raw path (physics/satfold.py)
+            from ..physics import satfold
+
+            if params is None:
+                raise ValueError(
+                    "folded curves/newton pack_inputs requires params"
+                )
+            c64 = scheme.derived_consts(params, float(ptsphy), jnp.float64,
+                                        config)
+
+            def f64(n):
+                return np.asarray(fields[n], np.float64)
+
+            ztp1_64 = f64("pt") + float(ptsphy) * f64("tendency_tmp_t")
+            curves = satfold.curve_rows(c64, ztp1_64, f64("pap"))
+            extra = dict(curves) if fc else {}
+            if fn:
+                extra["zdqs"] = satfold.newton_zdqs(
+                    c64, ztp1_64, f64("pap"), f64("paph"),
+                    f64("pmfu") + f64("pmfd"),
+                    f64("phrsw") + f64("phrlw"),
+                    f64("pvervel"), curves["zqsmix"],
+                )
+            fr.update({k: xp.asarray(v, dtype) for k, v in extra.items()})
+        rows = [fr[n] for n in _pack_rows_f(fc, fn)]
         if params is not None:
             c = scheme.derived_consts(params, 1.0, dtype, config)
             rows += [xp.asarray(fields[n], dtype) for n in _aer_rows(c)]

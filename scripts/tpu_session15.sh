@@ -35,3 +35,5 @@ CLOUDSC_FOLD_CURVES=1 CLOUDSC_FOLD_NEWTON=1 timeout 900 python bench.py
 CLOUDSC_FOLD_CURVES=1 CLOUDSC_FOLD_NEWTON=1 timeout 900 python bench.py
 CLOUDSC_FOLD_CURVES=0 CLOUDSC_FOLD_NEWTON=0 timeout 900 python bench.py
 echo "=== session 15 done $(date -u +%FT%TZ) ==="
+# 15b: fn-only bench pairs (the [5] pairs tested (1,1) which fc drags down);
+# fc-only at lps=3 probes the block-size hypothesis for the fc loss.

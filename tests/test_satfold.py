@@ -205,6 +205,30 @@ def test_fc_fn_fp64_tight(inp_params, monkeypatch):
     _compare(ref, out, rtol=1e-9)
 
 
+def test_driver_fn_default_end_to_end(inp_params, monkeypatch):
+    """The PRODUCTION default path (CLOUDSC_FOLD_NEWTON default ON) end to
+    end through the driver in interpret mode, against the fn-aware scan
+    oracle at the engine bar — pins that the flipped default is what the
+    driver actually runs."""
+    from cloudsc_tpu.kernels.pallas_cloudsc import fold_newton_enabled
+    from cloudsc_tpu.runtime.driver import CloudscDriver
+
+    inp, params = inp_params
+    monkeypatch.delenv("CLOUDSC_FOLD_NEWTON", raising=False)
+    monkeypatch.delenv("CLOUDSC_FOLD_CURVES", raising=False)
+    assert fold_newton_enabled()  # the measured default (lab25)
+    oracle = jax.jit(lambda f: cloudsc(f, params, inp.ptsphy))(
+        make_inputs(inp, dtype=jnp.float32, fold=True,
+                    fold_newton=True, params=params)
+    )
+    monkeypatch.setenv("CLOUDSC_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CLOUDSC_FOLD_INPUTS", "1")
+    d = CloudscDriver(params, inp.ptsphy, dtype=jnp.float32,
+                      backend="pallas", sublanes=1)
+    out, _, _ = d.run(inp, iterations=1)
+    _compare(oracle, out, rtol=1e-5)
+
+
 def test_fc_fn_does_not_degrade_fp32_accuracy(inp_params):
     """Folded-curves/newton vs plain-fold fp32 runs differ pointwise where
     the more-accurate fp64 rows cross a threshold differently — inherent to

@@ -31,6 +31,15 @@ from conftest import REFERENCE_DATA as INPUT_PATH
 NGPTOT = 512
 
 
+@pytest.fixture(autouse=True)
+def _base_fold_layout(monkeypatch):
+    """This module tests the tile-major relayout of the round-4 BASE fold
+    contract; pin the curve/newton row extensions off regardless of their
+    production defaults (tests/test_satfold.py owns those layouts)."""
+    monkeypatch.setenv("CLOUDSC_FOLD_CURVES", "0")
+    monkeypatch.setenv("CLOUDSC_FOLD_NEWTON", "0")
+
+
 @pytest.fixture(scope="module")
 def inp_params():
     inp = load_input(INPUT_PATH, ngptot=NGPTOT, expand=False)
