@@ -45,6 +45,15 @@ NGPTOT = 512
 _TUR = ("pfsqltur", "pfsqitur")
 
 
+@pytest.fixture(autouse=True)
+def _base_fold_layout(monkeypatch):
+    """This module tests the folded-OUTPUT contract on the round-4 BASE
+    input fold; pin the curve/newton input-row extensions off regardless
+    of their production defaults (tests/test_satfold.py owns those)."""
+    monkeypatch.setenv("CLOUDSC_FOLD_CURVES", "0")
+    monkeypatch.setenv("CLOUDSC_FOLD_NEWTON", "0")
+
+
 @pytest.fixture(scope="module")
 def inp_params():
     inp = load_input(INPUT_PATH, ngptot=NGPTOT, expand=False)
