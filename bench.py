@@ -266,6 +266,7 @@ def main() -> int:
     # number; a compile crash would be the same failure by another door).
     attempts = [
         ("configured", backend, {}),
+        ("pallas_no_newton", backend, {"CLOUDSC_FOLD_NEWTON": "0"}),
         ("pallas_unfolded", backend, {"CLOUDSC_FOLD_INPUTS": "0"}),
         ("pallas_ungrouped", backend,
          {"CLOUDSC_GROUP_COLUMNS": "0", "CLOUDSC_FOLD_INPUTS": "0"}),
@@ -274,6 +275,16 @@ def main() -> int:
     payload = None
     errors = []
     for name, bk, env in attempts:
+        if name == "pallas_no_newton":
+            try:
+                from cloudsc_tpu.kernels.pallas_cloudsc import (
+                    fold_newton_enabled,
+                )
+                fn_on = fold_newton_enabled()
+            except Exception:
+                fn_on = False
+            if backend == "xla" or not fn_on:
+                continue  # the newton fold wasn't in play
         if name == "pallas_unfolded" and (
             backend == "xla" or not _fold_default_on()
         ):
