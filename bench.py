@@ -196,6 +196,7 @@ def _measure(backend: str, on_tpu: bool) -> dict:
     try:
         from cloudsc_tpu.kernels.pallas_cloudsc import (
             fold_curves_enabled,
+            fold_dep_enabled,
             fold_newton_enabled,
             fold_outputs_enabled,
         )
@@ -205,6 +206,8 @@ def _measure(backend: str, on_tpu: bool) -> dict:
             layout += "+fc"
         if driver.backend == "pallas" and fold_newton_enabled():
             layout += "+fn"
+        if driver.backend == "pallas" and fold_dep_enabled():
+            layout += "+fd"
     except Exception:
         pass
     return {
@@ -332,6 +335,7 @@ def main() -> int:
         from cloudsc_tpu.kernels.pallas_cloudsc import (
             FOLD_CURVES_DEFAULT,
             FOLD_DEFAULT,
+            FOLD_DEP_DEFAULT,
             FOLD_NEWTON_DEFAULT,
             FOLD_OUTPUTS_DEFAULT,
             TILE_MAJOR_DEFAULT,
@@ -339,6 +343,7 @@ def main() -> int:
     except Exception:
         FOLD_DEFAULT, FOLD_OUTPUTS_DEFAULT, TILE_MAJOR_DEFAULT = "0", "0", "0"
         FOLD_CURVES_DEFAULT, FOLD_NEWTON_DEFAULT = "0", "0"
+        FOLD_DEP_DEFAULT = "0"
     knob_defaults = {
         "CLOUDSC_BENCH_BACKEND": "auto",
         "CLOUDSC_BENCH_NGPTOT": "163840",
@@ -353,6 +358,7 @@ def main() -> int:
         "CLOUDSC_FOLD_OUTPUTS": FOLD_OUTPUTS_DEFAULT,
         "CLOUDSC_FOLD_CURVES": FOLD_CURVES_DEFAULT,
         "CLOUDSC_FOLD_NEWTON": FOLD_NEWTON_DEFAULT,
+        "CLOUDSC_FOLD_DEP": FOLD_DEP_DEFAULT,
         "CLOUDSC_SCAN_PACKED": "0",
         "CLOUDSC_SCAN_UNROLL": "",
     }

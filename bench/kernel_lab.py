@@ -86,6 +86,11 @@ def main() -> int:
                    help="folded 3.4b Newton row to sweep (0/1; -1 = the "
                         "CLOUDSC_FOLD_NEWTON env default): stream ZDQS "
                         "instead of the in-kernel CUADJTQ")
+    p.add_argument("--foldd", type=int, nargs="+", default=[-1],
+                   help="folded 3.7 deposition rows to sweep (0/1; -1 = the "
+                        "CLOUDSC_FOLD_DEP env default): stream the raw "
+                        "deposition amount + nuclei factor (2 rows) instead "
+                        "of the in-kernel exp/pow/sqrt chain")
     p.add_argument("--foldo", type=int, nargs="+", default=[-1],
                    help="folded OUTPUT rows to sweep (0/1; -1 = the "
                         "CLOUDSC_FOLD_OUTPUTS env default): drop the 4 "
@@ -116,10 +121,11 @@ def main() -> int:
         params = Params.from_input(inp)
         from cloudsc_tpu.kernels.pallas_cloudsc import pack_inputs_raw
 
-        for sb, lps, order, fold, tilem, foldo, foldc, foldn in (
-            (s, l, o, fl, tm, fo, fcv, fnv) for s in a.sb for l in a.lps
+        for sb, lps, order, fold, tilem, foldo, foldc, foldn, foldd in (
+            (s, l, o, fl, tm, fo, fcv, fnv, fdv) for s in a.sb for l in a.lps
             for o in a.order for fl in a.fold for tm in a.tilem
             for fo in a.foldo for fcv in a.foldc for fnv in a.foldn
+            for fdv in a.foldd
         ):
             # lps must be pinned BEFORE packing: the pad-row decision at pack
             # time (_lps_for) has to agree with the kernel's level blocking
@@ -130,6 +136,8 @@ def main() -> int:
                 os.environ["CLOUDSC_FOLD_CURVES"] = str(foldc)
             if foldn >= 0:
                 os.environ["CLOUDSC_FOLD_NEWTON"] = str(foldn)
+            if foldd >= 0:
+                os.environ["CLOUDSC_FOLD_DEP"] = str(foldd)
             perm = None
             if order == "sorted":
                 from cloudsc_tpu.data.expand import activity_perm
@@ -202,6 +210,7 @@ def main() -> int:
                            order=order, skip=skip,
                            fold=("nxt" not in packed), tilem=bool(tilem),
                            foldo=foldo, foldc=foldc, foldn=foldn,
+                           foldd=foldd,
                            ms_per_step=round(per_iter * 1e3, 3),
                            cols_per_s=round(cols_s, 0),
                            compile_s=round(compile_s, 1))

@@ -112,7 +112,7 @@ def pallas_supported(params, config=None) -> bool:
         )
         return False
     key = (repr(config), aer, fold, tilem, fold_outputs_enabled(),
-           fold_curves_enabled(), fold_newton_enabled())
+           fold_curves_enabled(), fold_newton_enabled(), fold_dep_enabled())
     hit = _PROBE_CACHE.get(key)
     if hit is not None:
         return hit
@@ -125,7 +125,8 @@ def pallas_supported(params, config=None) -> bool:
         S = jax.ShapeDtypeStruct
         if fold:
             nrows = len(_pack_rows_f(fold_curves_enabled(),
-                                     fold_newton_enabled())) + len(aer)
+                                     fold_newton_enabled(),
+                                     fold_dep_enabled())) + len(aer)
             if tilem:
                 lps = _lps_for(nlev)
                 nk2 = (nlev + 1) // lps
@@ -250,8 +251,13 @@ def fold_enabled() -> bool:
 # ---------------------------------------------------------------------------
 _CURVE_PACK_ROWS = ("zqsmix", "zqsliq", "zqsice", "zfoeew", "zfoeewmt",
                     "zfoeeliqt", "zfokoop", "zfoeeliq", "zfoeeice")
+# the 3.7 deposition chain folded to its raw amount + nuclei factor
+# (physics/satfold.dep_rows — same ops-per-row argument as the Newton:
+# 1 exp + two **0.666 powers + sqrt + ~10 divides fold into TWO rows)
+_DEP_PACK_ROWS = ("zdep0", "zinfac")
 FOLD_CURVES_DEFAULT = "0"
 FOLD_NEWTON_DEFAULT = "1"
+FOLD_DEP_DEFAULT = "0"
 
 
 def fold_curves_enabled() -> bool:
@@ -264,14 +270,22 @@ def fold_newton_enabled() -> bool:
         "CLOUDSC_FOLD_NEWTON", FOLD_NEWTON_DEFAULT) == "1")
 
 
-def _pack_rows_f(fc: bool = False, fn: bool = False) -> list:
-    """Folded-layout row order: base rows, then the optional curve/zdqs
-    rows, then (appended by the callers) the aerosol rows."""
+def fold_dep_enabled() -> bool:
+    return (fold_enabled() and os.environ.get(
+        "CLOUDSC_FOLD_DEP", FOLD_DEP_DEFAULT) == "1")
+
+
+def _pack_rows_f(fc: bool = False, fn: bool = False,
+                 fd: bool = False) -> list:
+    """Folded-layout row order: base rows, then the optional curve/zdqs/
+    deposition rows, then (appended by the callers) the aerosol rows."""
     rows = list(_PACK_ROWS_F)
     if fc:
         rows += list(_CURVE_PACK_ROWS)
     if fn:
         rows.append("zdqs")
+    if fd:
+        rows += list(_DEP_PACK_ROWS)
     return rows
 
 
@@ -346,7 +360,7 @@ def pack_to_tile_major(p: dict, sublanes: int):
 
 
 def _unpack_inputs(ins, packed, aer, sub, lps, fold=False, tilem=False,
-                   fc=False, fn=False):
+                   fc=False, fn=False, fd=False):
     """-> (r, (pmf_n, plu_n), (paph_k, paph_k1), (plsm, ldcum, ktype,
     paph_surf)) as (SB, 128) arrays for sub-level `sub` of an lps-level block.
     `aer` lists the extra per-level aerosol fields appended to the layout.
@@ -354,7 +368,7 @@ def _unpack_inputs(ins, packed, aer, sub, lps, fold=False, tilem=False,
     folded-curves / folded-newton row extensions (_pack_rows_f)."""
     if fold:
         pack, look, col = ins
-        prows = _pack_rows_f(fc, fn)
+        prows = _pack_rows_f(fc, fn, fd)
         pidx = {name: i for i, name in enumerate(prows)}
         nr = len(prows) + len(aer)
         if tilem:
@@ -372,6 +386,8 @@ def _unpack_inputs(ins, packed, aer, sub, lps, fold=False, tilem=False,
             names += list(_CURVE_PACK_ROWS)
         if fn:
             names.append("zdqs")
+        if fd:
+            names += list(_DEP_PACK_ROWS)
         r = {name: P(sub, pidx[name]) for name in names}
         r["zqx_cld_in"] = [
             P(sub, pidx[f"zqx{m}_in"]) for m in range(4)
@@ -453,7 +469,7 @@ _OH = _oh_map(False)
 
 
 def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, foldo, fc, fn,
-            *refs):
+            fd, *refs):
     aer = _aer_rows(c)
     nin = (3 if fold else 5) if packed else (
         len(_IN_STREAMED) + 3 + 2 + 2 + 4 + len(aer)
@@ -474,7 +490,7 @@ def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, foldo, fc, fn,
         oi_lev, oi_half = _out_indexers(tilem, foldo)
         for sub in range(lps):
             raw, _, _, _ = _unpack_inputs(ins, packed, aer, sub, lps, fold,
-                                          tilem, fc, fn)
+                                          tilem, fc, fn, fd)
             if mode == "floor":
                 v = (raw["ztp1_in"] + raw["zqv_in"]) if fold else (
                     raw["pt"] + raw["pq"]
@@ -509,14 +525,14 @@ def _kernel(c, nlev, ktop, packed, lps, mode, fold, tilem, foldo, fc, fn,
         for sub in range(lps):
             _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
                        ins, o_lev, o_half, o_prainfrac, scr, aer, fold,
-                       tilem, foldo, fc, fn, full=False)
+                       tilem, foldo, fc, fn, fd, full=False)
 
     @pl.when(jnp.logical_not(above_top))
     def _full():
         for sub in range(lps):
             _sub_level(c, nlev, ktop, packed, lps, sub, lps * k2 + sub,
                        ins, o_lev, o_half, o_prainfrac, scr, aer, fold,
-                       tilem, foldo, fc, fn, full=True)
+                       tilem, foldo, fc, fn, fd, full=True)
 
 
 def _out_indexers(tilem, foldo=False):
@@ -531,7 +547,7 @@ def _out_indexers(tilem, foldo=False):
 
 def _sub_level(c, nlev, ktop, packed, lps, sub, k,
                ins, o_lev, o_half, o_prainfrac, scr, aer, fold, tilem, foldo,
-               fc=False, fn=False, full=True):
+               fc=False, fn=False, fd=False, full=True):
     zqtmst, ptsphy = c.zqtmst, c.ptsphy
     oi_lev, oi_half = _out_indexers(tilem, foldo)
     oh = _oh_map(foldo)
@@ -568,7 +584,7 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
     @pl.when(k < nlev)
     def _level():
         raw, nxts, paphs, cols = _unpack_inputs(ins, packed, aer, sub, lps,
-                                                fold, tilem, fc, fn)
+                                                fold, tilem, fc, fn, fd)
         pmf_n, plu_n = nxts
         paph_k, paph_k1 = paphs
         plsm, ldcum_b, ktype_i, paph_surf = cols
@@ -624,6 +640,10 @@ def _sub_level(c, nlev, ktop, packed, lps, sub, k,
             # folded Newton: the streamed ZDQS row replaces the in-kernel
             # 3.4b forcing + CUADJTQ (scheme.level_step dispatches on the key)
             x["zdqs"] = raw["zdqs"]
+        if fd:
+            # folded deposition: raw amount + nuclei factor (satfold.dep_rows)
+            x["zdep0"] = raw["zdep0"]
+            x["zinfac"] = raw["zinfac"]
         carry = dict(
             zanewm1=scr[_S_ZANEWM1],
             zqxnm1=[scr[_S_ZQXNM1 + m] for m in range(NCLV)],
@@ -740,7 +760,8 @@ def _lps_for(nlev: int) -> int:
 
 def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
            packed=False, config=None, mode="full", lps_cap=None, fold=False,
-           tilem=False, lps_force=None, foldo=False, fc=False, fn=False):
+           tilem=False, lps_force=None, foldo=False, fc=False, fn=False,
+           fd=False):
     c = scheme.derived_consts(params, ptsphy, dtype, config)
     ktop = c.NCLDTOP - 1
     SB = sublanes
@@ -796,7 +817,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         # lookahead reads rows 0-2 (pmf/plu/paph) of block k+1's first
         # sub-level; at the final grid step the clamp reuses block nk2-1 —
         # only the never-consumed pad sub-level sees those values.
-        nrows = len(_pack_rows_f(fc, fn)) + len(aer)
+        nrows = len(_pack_rows_f(fc, fn, fd)) + len(aer)
         lookb = lambda k: jnp.minimum(k + 1, nk2 - 1)
         if mode == "resident":
             in_specs = [
@@ -826,7 +847,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         # lookahead block over the SAME array, and the resident per-column
         # block. paph lives in the pack (its real nlev+1-th row doubles as
         # the lps pad row). 2 input DMAs per grid step.
-        nrows = len(_pack_rows_f(fc, fn)) + len(aer)
+        nrows = len(_pack_rows_f(fc, fn, fd)) + len(aer)
         look = lambda k: jnp.minimum(lps * (k + 1), nlev)
         if mode == "resident":
             in_specs = [
@@ -949,7 +970,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
         ]
 
     kernel = functools.partial(_kernel, c, nlev, ktop, packed, lps, mode,
-                               fold, tilem, foldo, fc, fn)
+                               fold, tilem, foldo, fc, fn, fd)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -965,7 +986,7 @@ def _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
 
 
 def _folded_rows(get, ptsphy, c=None, fc: bool = False,
-                 fn: bool = False) -> dict:
+                 fn: bool = False, fd: bool = False) -> dict:
     """The folded per-level rows (name -> array) from a raw-field accessor
     `get(NAME[, species])`. On the load path `get` returns fp64 file-width
     arrays, so every fold is computed in fp64 and rounded ONCE by the later
@@ -996,12 +1017,12 @@ def _folded_rows(get, ptsphy, c=None, fc: bool = False,
             for m in range(4)
         },
     }
-    if fc or fn:
+    if fc or fn or fd:
         from ..physics import satfold
 
         if c is None:
             raise ValueError(
-                "folded curves/newton rows need derived_consts (params)"
+                "folded curves/newton/dep rows need derived_consts (params)"
             )
         curves = satfold.curve_rows(c, rows["ztp1_in"], rows["pap"])
         if fc:
@@ -1011,6 +1032,12 @@ def _folded_rows(get, ptsphy, c=None, fc: bool = False,
                 c, rows["ztp1_in"], rows["pap"], rows["paph"], rows["pmf"],
                 rows["zhr"], rows["pvervel"], curves["zqsmix"],
             )
+        if fd:
+            rows.update(satfold.dep_rows(
+                c, rows["ztp1_in"], rows["zqv_in"], rows["za_in"],
+                [rows[f"zqx{m}_in"] for m in range(4)], rows["pap"],
+                curves,
+            ))
     return rows
 
 
@@ -1085,7 +1112,8 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None,
 
         fr = _folded_rows(get, np.dtype(dtype).type(ptsphy))
         fc, fn = fold_curves_enabled(), fold_newton_enabled()
-        if fc or fn:
+        fd = fold_dep_enabled()
+        if fc or fn or fd:
             # the curve/newton rows follow the env layout so this surface
             # stays consistent with the kernel's row-count inference; they
             # are computed at fp64 like the raw path (physics/satfold.py)
@@ -1093,7 +1121,7 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None,
 
             if params is None:
                 raise ValueError(
-                    "folded curves/newton pack_inputs requires params"
+                    "folded curves/newton/dep pack_inputs requires params"
                 )
             c64 = scheme.derived_consts(params, float(ptsphy), jnp.float64,
                                         config)
@@ -1111,8 +1139,18 @@ def pack_inputs(fields: dict, sublanes: int = 32, params=None, config=None,
                     f64("phrsw") + f64("phrlw"),
                     f64("pvervel"), curves["zqsmix"],
                 )
+            if fd:
+                dt64 = float(ptsphy)
+                extra.update(satfold.dep_rows(
+                    c64, ztp1_64,
+                    f64("pq") + dt64 * f64("tendency_tmp_q"),
+                    f64("pa") + dt64 * f64("tendency_tmp_a"),
+                    [f64("pclv")[m] + dt64 * f64("tendency_tmp_cld")[m]
+                     for m in range(4)],
+                    f64("pap"), curves,
+                ))
             fr.update({k: xp.asarray(v, dtype) for k, v in extra.items()})
-        rows = [fr[n] for n in _pack_rows_f(fc, fn)]
+        rows = [fr[n] for n in _pack_rows_f(fc, fn, fd)]
         if params is not None:
             c = scheme.derived_consts(params, 1.0, dtype, config)
             rows += [xp.asarray(fields[n], dtype) for n in _aer_rows(c)]
@@ -1282,8 +1320,9 @@ def _pack_inputs_raw_folded(inp, sublanes, params, config, dtype, grouped,
         c = scheme.derived_consts(params, float(inp.ptsphy), dt, config)
         aer = _aer_rows(c)
     fc, fn = fold_curves_enabled(), fold_newton_enabled()
-    if (fc or fn) and c is None:
-        raise ValueError("folded curves/newton packs require params")
+    fd = fold_dep_enabled()
+    if (fc or fn or fd) and c is None:
+        raise ValueError("folded curves/newton/dep packs require params")
 
     def _p(a):
         return a if column_perm is None else a[..., column_perm]
@@ -1292,8 +1331,8 @@ def _pack_inputs_raw_folded(inp, sublanes, params, config, dtype, grouped,
         a = f[name] if m is None else f[name][m]
         return _p(np.asarray(a, np.float64))
 
-    fr = _folded_rows(get, float(inp.ptsphy), c=c, fc=fc, fn=fn)
-    rows = [fr[n] for n in _pack_rows_f(fc, fn)] + \
+    fr = _folded_rows(get, float(inp.ptsphy), c=c, fc=fc, fn=fn, fd=fd)
+    rows = [fr[n] for n in _pack_rows_f(fc, fn, fd)] + \
         [get(n.upper()) for n in aer]
     col_rows = [get("PLSM"), get("LDCUM"), get("KTYPE"),
                 _p(np.asarray(f["PAPH"], np.float64)[nlev])]
@@ -1335,7 +1374,8 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
                    config=None, _mode: str = "full",
                    fold_outputs: bool | None = None,
                    fold_curves: bool | None = None,
-                   fold_newton: bool | None = None) -> CloudscOutputs:
+                   fold_newton: bool | None = None,
+                   fold_dep: bool | None = None) -> CloudscOutputs:
     """Run the fused kernel; same contract as physics.cloudsc (jit-able).
 
     Columns are padded (edge-replicated so padded lanes stay finite) to a
@@ -1365,7 +1405,8 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
         lps_force = None
         fc = fold_curves_enabled() if fold_curves is None else fold_curves
         fn = fold_newton_enabled() if fold_newton is None else fold_newton
-        fc, fn = fold and fc, fold and fn
+        fd = fold_dep_enabled() if fold_dep is None else fold_dep
+        fc, fn, fd = fold and fc, fold and fn, fold and fd
         if tilem:
             nk2, ni, rows3, sb_arr, _ = p["pack"].shape
             if sb_arr != sublanes:
@@ -1374,13 +1415,13 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
                     f"kernel requested {sublanes}"
                 )
             c_tmp = scheme.derived_consts(params, 1.0, dtype, config)
-            nrows = len(_pack_rows_f(fc, fn)) + len(_aer_rows(c_tmp))
+            nrows = len(_pack_rows_f(fc, fn, fd)) + len(_aer_rows(c_tmp))
             if rows3 % nrows != 0:
                 raise ValueError(
                     f"tile-major pack has {rows3} rows/step which is not a "
-                    f"multiple of the fold_curves={fc}/fold_newton={fn} "
-                    f"layout ({nrows} rows/level) — the pack was built "
-                    f"under different CLOUDSC_FOLD_CURVES/NEWTON flags"
+                    f"multiple of the fold_curves={fc}/fold_newton={fn}/"
+                    f"fold_dep={fd} layout ({nrows} rows/level) — the pack "
+                    f"was built under different CLOUDSC_FOLD_* flags"
                 )
             lps_force = rows3 // nrows
             nblk = ni * sb_arr
@@ -1394,14 +1435,17 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
                 c_tmp = scheme.derived_consts(params, 1.0, dtype, config)
                 extra = p["pack"].shape[1] - len(_PACK_ROWS_F) \
                     - len(_aer_rows(c_tmp))
-                known = {0: (False, False), 1: (False, True),
-                         9: (True, False), 10: (True, True)}
+                # (fc, fn, fd) -> 9*fc + 1*fn + 2*fd extra rows; all eight
+                # combinations are distinct
+                known = {9 * c_ + 1 * n_ + 2 * d_: (bool(c_), bool(n_),
+                                                    bool(d_))
+                         for c_ in (0, 1) for n_ in (0, 1) for d_ in (0, 1)}
                 if extra not in known:
                     raise ValueError(
                         f"folded pack has {extra} extra rows beyond the "
                         f"base layout; expected one of {sorted(known)}"
                     )
-                fc, fn = known[extra]
+                fc, fn, fd = known[extra]
         target = nblk * LANES
         if ncol is None:
             ncol = target
@@ -1422,7 +1466,7 @@ def cloudsc_pallas(fields: dict, params, ptsphy: float,
         call = _build(params, ptsphy, nlev, nblk, sublanes, dtype, interpret,
                       packed=True, config=config, mode=_mode, lps_cap=lps_cap,
                       fold=fold, tilem=tilem, lps_force=lps_force, foldo=foldo,
-                      fc=fc, fn=fn)
+                      fc=fc, fn=fn, fd=fd)
         res = call(*args)
         aux = None
         if foldo:

@@ -59,7 +59,8 @@ class CloudscOutputs(NamedTuple):
 def make_inputs(inp, dtype=jnp.float64, host: bool = False,
                 column_order: str = "cyclic", column_perm=None,
                 fold: bool = False, fold_curves: bool = False,
-                fold_newton: bool = False, params=None) -> dict:
+                fold_newton: bool = False, fold_dep: bool = False,
+                params=None) -> dict:
     """Convert a loaded InputData into the field dict cloudsc() consumes.
 
     host=True keeps the arrays in numpy (no device transfer) — used by the
@@ -125,12 +126,13 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
             "pmf": cast(f64("PMFU") + f64("PMFD")),
             "zhr": cast(f64("PHRSW") + f64("PHRLW")),
         }
-        if fold_curves or fold_newton:
+        if fold_curves or fold_newton or fold_dep:
             from . import scheme as _scheme
             from . import satfold
 
             if params is None:
-                raise ValueError("fold_curves/fold_newton need params")
+                raise ValueError("fold_curves/fold_newton/fold_dep need "
+                                 "params")
             c64 = _scheme.derived_consts(params, dt64, np.float64)
             ztp1_64 = f64("PT") + dt64 * f64("TENDENCY_TMP_T")
             curves = satfold.curve_rows(c64, ztp1_64, f64("PAP"))
@@ -143,6 +145,16 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
                     f64("PMFU") + f64("PMFD"), f64("PHRSW") + f64("PHRLW"),
                     f64("PVERVEL"), curves["zqsmix"],
                 ))
+            if fold_dep:
+                dep = satfold.dep_rows(
+                    c64, ztp1_64,
+                    f64("PQ") + dt64 * f64("TENDENCY_TMP_Q"),
+                    f64("PA") + dt64 * f64("TENDENCY_TMP_A"),
+                    f64("PCLV")[:4] + dt64 * f64("TENDENCY_TMP_CLD")[:4],
+                    f64("PAP"), curves,
+                )
+                folded["zdep0"] = cast(dep["zdep0"])
+                folded["zinfac"] = cast(dep["zinfac"])
         rest = {
             k: cast(n) for k, n in (
                 ("pvfl", "PVFL"), ("pvfi", "PVFI"),
@@ -303,6 +315,11 @@ def _scan_front(fields: dict, params, ptsphy: float, config):
         # folded Newton (make_inputs fold_newton=True): streamed per-level
         # row consumed by level_step in place of the 3.4b CUADJTQ
         closure["zdqs"] = fields["zdqs"]
+    if "zdep0" in fields:
+        # folded deposition (make_inputs fold_dep=True): the 3.7 chain's
+        # raw amount + nuclei factor, consumed by level_step
+        closure["zdep0"] = fields["zdep0"]
+        closure["zinfac"] = fields["zinfac"]
     aux = dict(
         zqx0=ini["zqx0"], zlneg=ini["zlneg"], zfoealfa=ini["zfoealfa"],
         tend_t_full=ini["tend_t_pre"], tend_q_full=ini["tend_q_pre"],
@@ -329,10 +346,10 @@ def scan_pack(fields: dict, params, ptsphy: float, config=None) -> dict:
     S-stack aerosol row set depends on it (_scan_s_rows)."""
     c, nlev, ncol, dtype, closure, zqx_full, aux = _scan_front(
         fields, params, ptsphy, config)
-    if "zdqs" in closure or "zqsmix" in fields:
+    if "zdqs" in closure or "zdep0" in closure or "zqsmix" in fields:
         raise ValueError(
-            "scan_pack does not support folded-curves/newton field dicts "
-            "(the stacks have no rows for them)"
+            "scan_pack does not support folded-curves/newton/dep field "
+            "dicts (the stacks have no rows for them)"
         )
     stack_s, stack_p, stack_h = _scan_stacks(closure, zqx_full, c, nlev)
     return dict(
@@ -404,11 +421,13 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
         paph_surf = paph[nlev]
         land, ldcum, ktype = aux["land"], aux["ldcum"], aux["ktype"]
         if scan_packed:
-            if "zdqs" in closure or "zqsmix" in fields:
+            if "zdqs" in closure or "zdep0" in closure \
+                    or "zqsmix" in fields:
                 raise ValueError(
                     "the packed-closure scan does not support folded-"
-                    "curves/newton field dicts (the stacks have no rows "
-                    "for them); unset CLOUDSC_SCAN_PACKED for the oracle"
+                    "curves/newton/dep field dicts (the stacks have no "
+                    "rows for them); unset CLOUDSC_SCAN_PACKED for the "
+                    "oracle"
                 )
             _stack_s, _stack_p, _stack_h = _scan_stacks(
                 closure, _zqx_full, c, nlev)
@@ -533,6 +552,9 @@ def cloudsc(fields: dict, params, ptsphy: float, config=None) -> CloudscOutputs:
             x["pccn"] = row("pccn")
         if closure is not None and "zdqs" in closure:
             x["zdqs"] = row("zdqs")
+        if closure is not None and "zdep0" in closure:
+            x["zdep0"] = row("zdep0")
+            x["zinfac"] = row("zinfac")
         return x
 
     xs = jnp.arange(ktop, nlev, dtype=jnp.int32)

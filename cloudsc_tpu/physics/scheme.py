@@ -775,51 +775,65 @@ def level_step(x: dict, carry: dict, c) -> tuple[dict, dict]:
         zcovptot = carry["zcovptot"]
 
         dep_m = (ztp1 < RTT) & (zqxfg[IL] > e.rlmin)
-        zvpice = x["zfoeeice"] * RV / RD
-        zvpliq = zvpice * zfokoop
-        zicenuclei = 1000.0 * jnp.exp(
-            12.96 * (zvpliq - zvpice) / zvpliq - 0.639
-        )
-        zinfactor = jnp.minimum(zicenuclei / 15000.0, 1.0)
+        if "zdep0" in x:
+            # folded deposition (CLOUDSC_FOLD_DEP): the whole chain below —
+            # nucleation exponential, the **0.666 powers, sqrt, ~10 divides
+            # — is a pure function of the level inputs (the in-cloud ice it
+            # seeds is the SECTION-3.0 value, untouched by carries) and was
+            # computed at LOAD time in fp64 (physics/satfold.dep_rows);
+            # only this carry-dependent tail remains
+            zinfactor = x["zinfac"]
+            zdepos = x["zdep0"]
+        else:
+            zvpice = x["zfoeeice"] * RV / RD
+            zvpliq = zvpice * zfokoop
+            zicenuclei = 1000.0 * jnp.exp(
+                12.96 * (zvpliq - zvpice) / zvpliq - 0.639
+            )
+            zinfactor = jnp.minimum(zicenuclei / 15000.0, 1.0)
+            if c.IDEPICE == 1:  # Rotstayn 2001 monodisperse (ref: 1519-1601)
+                zadd = RLSTT * (RLSTT / (RV * ztp1) - 1.0) / (2.4e-2 * ztp1)
+                zbdd = RV * ztp1 * pap / (2.21 * zvpice)
+                zcvds = (
+                    7.8
+                    * (zicenuclei / zrho) ** 0.666
+                    * (zvpliq - zvpice)
+                    / (8.87 * (zadd + zbdd) * zvpice)
+                )
+                zice0 = jnp.maximum(
+                    _zicecld30, zicenuclei * e.riceinit / zrho
+                )
+                zinew_b = 0.666 * zcvds * ptsphy + zice0**0.666
+                zinew = zinew_b * jnp.sqrt(zinew_b)      # == zinew_b**1.5
+                zdepos = jnp.maximum(za * (zinew - zice0), 0.0)
+            else:  # IDEPICE == 2: ice-PSD deposition (ref: 1608-1689)
+                zice0 = jnp.maximum(
+                    _zicecld30, zicenuclei * e.riceinit / zrho
+                )
+                zaplusb = (
+                    e.rcl_apb1 * zvpice - e.rcl_apb2 * zvpice * ztp1
+                    + pap * e.rcl_apb3 * (ztp1 * ztp1 * ztp1)
+                )
+                zcorrfac = jnp.sqrt(1.0 / zrho)
+                ztq = ztp1 / 273.0
+                zcorrfac2 = ztq * jnp.sqrt(ztq) * (393.0 / (ztp1 + 120.0))
+                zpr02 = zrho * zice0 * e.rcl_const1i  # ZTCG = ZFACX1I = 1
+                zterm1 = (
+                    (zvpliq - zvpice) * ztp1**2 * zvpice * zcorrfac2
+                    * e.rcl_const2i / (zrho * zaplusb * zvpice)
+                )
+                zterm2 = (
+                    0.65 * e.rcl_const6i * zpr02 ** e.rcl_const4i
+                    + e.rcl_const3i * jnp.sqrt(zcorrfac) * jnp.sqrt(zrho)
+                    * zpr02 ** e.rcl_const5i / jnp.sqrt(zcorrfac2)
+                )
+                zdepos = jnp.maximum(za * zterm1 * zterm2 * ptsphy, 0.0)
         ztopred = jnp.minimum(
             zinfactor
             + (1.0 - zinfactor)
             * (e.rdepliqrefrate + zcldtopdist / e.rdepliqrefdepth),
             1.0,
         )
-        if c.IDEPICE == 1:  # Rotstayn 2001 monodisperse (ref: 1519-1601)
-            zadd = RLSTT * (RLSTT / (RV * ztp1) - 1.0) / (2.4e-2 * ztp1)
-            zbdd = RV * ztp1 * pap / (2.21 * zvpice)
-            zcvds = (
-                7.8
-                * (zicenuclei / zrho) ** 0.666
-                * (zvpliq - zvpice)
-                / (8.87 * (zadd + zbdd) * zvpice)
-            )
-            zice0 = jnp.maximum(_zicecld30, zicenuclei * e.riceinit / zrho)
-            zinew_b = 0.666 * zcvds * ptsphy + zice0**0.666
-            zinew = zinew_b * jnp.sqrt(zinew_b)          # == zinew_b**1.5
-            zdepos = jnp.maximum(za * (zinew - zice0), 0.0)
-        else:  # IDEPICE == 2: ice-PSD deposition (ref: 1608-1689)
-            zice0 = jnp.maximum(_zicecld30, zicenuclei * e.riceinit / zrho)
-            zaplusb = (
-                e.rcl_apb1 * zvpice - e.rcl_apb2 * zvpice * ztp1
-                + pap * e.rcl_apb3 * (ztp1 * ztp1 * ztp1)
-            )
-            zcorrfac = jnp.sqrt(1.0 / zrho)
-            ztq = ztp1 / 273.0
-            zcorrfac2 = ztq * jnp.sqrt(ztq) * (393.0 / (ztp1 + 120.0))
-            zpr02 = zrho * zice0 * e.rcl_const1i  # ZTCG = ZFACX1I = 1
-            zterm1 = (
-                (zvpliq - zvpice) * ztp1**2 * zvpice * zcorrfac2
-                * e.rcl_const2i / (zrho * zaplusb * zvpice)
-            )
-            zterm2 = (
-                0.65 * e.rcl_const6i * zpr02 ** e.rcl_const4i
-                + e.rcl_const3i * jnp.sqrt(zcorrfac) * jnp.sqrt(zrho)
-                * zpr02 ** e.rcl_const5i / jnp.sqrt(zcorrfac2)
-            )
-            zdepos = jnp.maximum(za * zterm1 * zterm2 * ptsphy, 0.0)
         zdepos = jnp.minimum(zdepos, zqxfg[IL])
         # cloud-top reduction for turbulence/nucleation/fallout (ref: 1581-1586)
         zdepos = zdepos * ztopred

@@ -140,50 +140,80 @@ def _compare(ref, out, rtol):
 
 @pytest.fixture(scope="module")
 def folded_fc_oracle32(inp_params):
-    """The fp32 scan engine on the SAME folded-curves+newton inputs the
-    fc/fn pack streams."""
+    """The fp32 scan engine on the SAME folded curves+newton+dep inputs the
+    fc/fn/fd pack streams."""
     inp, params = inp_params
     fields = make_inputs(inp, dtype=jnp.float32, fold=True,
-                         fold_curves=True, fold_newton=True, params=params)
-    assert "zqsmix" in fields and "zdqs" in fields
+                         fold_curves=True, fold_newton=True, fold_dep=True,
+                         params=params)
+    assert "zqsmix" in fields and "zdqs" in fields and "zdep0" in fields
     return jax.jit(lambda f: cloudsc(f, params, inp.ptsphy))(fields)
 
 
 @pytest.mark.parametrize("lps", [1, 3])
 def test_fc_fn_kernel_matches_oracle(inp_params, folded_fc_oracle32, lps,
                                      monkeypatch):
-    """fc+fn pack through the kernel (interpret mode) vs the scan engine on
-    the SAME folded inputs: only engine-schedule differences remain."""
+    """fc+fn+fd pack through the kernel (interpret mode) vs the scan engine
+    on the SAME folded inputs: only engine-schedule differences remain."""
     inp, params = inp_params
     monkeypatch.setenv("CLOUDSC_PALLAS_LPS", str(lps))
     monkeypatch.setenv("CLOUDSC_FOLD_CURVES", "1")
     monkeypatch.setenv("CLOUDSC_FOLD_NEWTON", "1")
+    monkeypatch.setenv("CLOUDSC_FOLD_DEP", "1")
     p, ncol = pack_inputs_raw(inp, sublanes=4, params=params,
                               dtype=jnp.float32, fold=True)
-    assert p["pack"].shape[1] == len(_pack_rows_f(True, True))
+    assert p["pack"].shape[1] == len(_pack_rows_f(True, True, True))
     out = cloudsc_pallas(None, params, inp.ptsphy, sublanes=4,
                          interpret=True, packed=jax.device_put(p),
                          ncol_packed=ncol)
     _compare(folded_fc_oracle32, out, rtol=1e-5)
 
 
-def test_fc_only_and_fn_only_layouts(inp_params, monkeypatch):
+def test_single_knob_layouts(inp_params, monkeypatch):
     """Each knob stands alone: the kernel infers the layout from the pack's
     row count and agrees with the scan oracle on the same inputs."""
     inp, params = inp_params
-    for fc, fn in ((True, False), (False, True)):
+    for fc, fn, fd in ((True, False, False), (False, True, False),
+                       (False, False, True), (False, True, True)):
         monkeypatch.setenv("CLOUDSC_FOLD_CURVES", "1" if fc else "0")
         monkeypatch.setenv("CLOUDSC_FOLD_NEWTON", "1" if fn else "0")
+        monkeypatch.setenv("CLOUDSC_FOLD_DEP", "1" if fd else "0")
         fields = make_inputs(inp, dtype=jnp.float32, fold=True,
-                             fold_curves=fc, fold_newton=fn, params=params)
+                             fold_curves=fc, fold_newton=fn, fold_dep=fd,
+                             params=params)
         oracle = jax.jit(lambda f: cloudsc(f, params, inp.ptsphy))(fields)
         p, ncol = pack_inputs_raw(inp, sublanes=4, params=params,
                                   dtype=jnp.float32, fold=True)
-        assert p["pack"].shape[1] == len(_pack_rows_f(fc, fn))
+        assert p["pack"].shape[1] == len(_pack_rows_f(fc, fn, fd))
         out = cloudsc_pallas(None, params, inp.ptsphy, sublanes=4,
                              interpret=True, packed=jax.device_put(p),
                              ncol_packed=ncol)
         _compare(oracle, out, rtol=1e-5)
+
+
+def test_state_clip_matches_level_init(inp_params):
+    """satfold._state_clip (numpy) against scheme.level_init's tidy block
+    (jnp) at fp64 — the formula-sync pin for the dep fold's in-cloud ice
+    seed (zqx/za post-clip must match bitwise; pure selects/adds)."""
+    inp, params = inp_params
+    dt = float(inp.ptsphy)
+    c = scheme.derived_consts(params, dt, jnp.float64)
+    ztp1 = _f64(inp, "PT") + dt * _f64(inp, "TENDENCY_TMP_T")
+    zqv = _f64(inp, "PQ") + dt * _f64(inp, "TENDENCY_TMP_Q")
+    za_in = _f64(inp, "PA") + dt * _f64(inp, "TENDENCY_TMP_A")
+    zqx_cld = _f64(inp, "PCLV")[:4] + dt * _f64(inp, "TENDENCY_TMP_CLD")[:4]
+    za, zqx = satfold._state_clip(c, zqv, za_in, zqx_cld)
+    raw = dict(
+        ztp1_in=jnp.asarray(ztp1), zqv_in=jnp.asarray(zqv),
+        za_in=jnp.asarray(za_in),
+        zqx_cld_in=[jnp.asarray(zqx_cld[m]) for m in range(4)],
+        pap=jnp.asarray(_f64(inp, "PAP")),
+    )
+    ini = jax.jit(lambda r: scheme.level_init(r, c))(raw)
+    np.testing.assert_array_equal(np.asarray(ini["za"]), za)
+    for m in range(5):
+        np.testing.assert_array_equal(np.asarray(ini["zqx"][m]), zqx[m],
+                                      err_msg=f"species {m}")
 
 
 def test_fc_fn_fp64_tight(inp_params, monkeypatch):
@@ -197,6 +227,7 @@ def test_fc_fn_fp64_tight(inp_params, monkeypatch):
     ref = jax.jit(lambda f: cloudsc(f, params, inp.ptsphy))(fields)
     monkeypatch.setenv("CLOUDSC_FOLD_CURVES", "1")
     monkeypatch.setenv("CLOUDSC_FOLD_NEWTON", "1")
+    monkeypatch.setenv("CLOUDSC_FOLD_DEP", "1")
     p, ncol = pack_inputs_raw(inp, sublanes=4, params=params,
                               dtype=jnp.float64, fold=True)
     out = cloudsc_pallas(None, params, inp.ptsphy, sublanes=4,
@@ -242,7 +273,7 @@ def test_fc_fn_does_not_degrade_fp32_accuracy(inp_params):
     for fcfn in (False, True):
         fields = make_inputs(inp, dtype=jnp.float32, fold=True,
                              fold_curves=fcfn, fold_newton=fcfn,
-                             params=params)
+                             fold_dep=fcfn, params=params)
         outs[fcfn] = jax.jit(lambda f: cloudsc(f, params, inp.ptsphy))(fields)
     worse = []
     for name in ref64._fields:
