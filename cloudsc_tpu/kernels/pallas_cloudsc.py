@@ -252,8 +252,11 @@ def fold_enabled() -> bool:
 _CURVE_PACK_ROWS = ("zqsmix", "zqsliq", "zqsice", "zfoeew", "zfoeewmt",
                     "zfoeeliqt", "zfokoop", "zfoeeliq", "zfoeeice")
 # the 3.7 deposition chain folded to its raw amount + nuclei factor
-# (physics/satfold.dep_rows — same ops-per-row argument as the Newton:
-# 1 exp + two **0.666 powers + sqrt + ~10 divides fold into TWO rows)
+# (physics/satfold.dep_rows). Measured a WASH/LOSS (bench/lab28_depfold.log,
+# default OFF): although the raw ops-per-row clears the fold bar, s37 sits
+# INSIDE the 3.7-4.5 inert_skip region so the chain is already
+# branch-skipped on inactive tiles, while the 2 extra rows stream
+# everywhere — the fold rule is BRANCH-WEIGHTED ops per row.
 _DEP_PACK_ROWS = ("zdep0", "zinfac")
 FOLD_CURVES_DEFAULT = "0"
 FOLD_NEWTON_DEFAULT = "1"
