@@ -60,7 +60,7 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
                 column_order: str = "cyclic", column_perm=None,
                 fold: bool = False, fold_curves: bool = False,
                 fold_newton: bool = False, fold_dep: bool = False,
-                params=None) -> dict:
+                params=None, config=None) -> dict:
     """Convert a loaded InputData into the field dict cloudsc() consumes.
 
     host=True keeps the arrays in numpy (no device transfer) — used by the
@@ -133,7 +133,9 @@ def make_inputs(inp, dtype=jnp.float64, host: bool = False,
             if params is None:
                 raise ValueError("fold_curves/fold_newton/fold_dep need "
                                  "params")
-            c64 = _scheme.derived_consts(params, dt64, np.float64)
+            # config matters for fold_dep (IDEPICE selects the deposition
+            # formula); curves/newton are config-independent
+            c64 = _scheme.derived_consts(params, dt64, np.float64, config)
             ztp1_64 = f64("PT") + dt64 * f64("TENDENCY_TMP_T")
             curves = satfold.curve_rows(c64, ztp1_64, f64("PAP"))
             if fold_curves:

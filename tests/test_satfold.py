@@ -191,6 +191,30 @@ def test_single_knob_layouts(inp_params, monkeypatch):
         _compare(oracle, out, rtol=1e-5)
 
 
+def test_fd_respects_idepice_config(inp_params, monkeypatch):
+    """fold_dep folds the deposition FORMULA the config selects (IDEPICE=2
+    ice-PSD here): pack, oracle and kernel must all use the same branch —
+    a config-less fold would silently bake the default Rotstayn formula."""
+    from cloudsc_tpu.physics.scheme import SchemeConfig
+
+    inp, params = inp_params
+    cfg = SchemeConfig(idepice=2)
+    monkeypatch.setenv("CLOUDSC_FOLD_CURVES", "0")
+    monkeypatch.setenv("CLOUDSC_FOLD_NEWTON", "0")
+    monkeypatch.setenv("CLOUDSC_FOLD_DEP", "1")
+    fields = make_inputs(inp, dtype=jnp.float32, fold=True, fold_dep=True,
+                         params=params, config=cfg)
+    oracle = jax.jit(
+        lambda f: cloudsc(f, params, inp.ptsphy, config=cfg)
+    )(fields)
+    p, ncol = pack_inputs_raw(inp, sublanes=4, params=params, config=cfg,
+                              dtype=jnp.float32, fold=True)
+    out = cloudsc_pallas(None, params, inp.ptsphy, sublanes=4, config=cfg,
+                         interpret=True, packed=jax.device_put(p),
+                         ncol_packed=ncol)
+    _compare(oracle, out, rtol=1e-5)
+
+
 def test_state_clip_matches_level_init(inp_params):
     """satfold._state_clip (numpy) against scheme.level_init's tidy block
     (jnp) at fp64 — the formula-sync pin for the dep fold's in-cloud ice
