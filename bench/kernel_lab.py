@@ -8,6 +8,10 @@ IDENTICAL BlockSpecs and I/O volume:
 across (sublanes, levels-per-step) variants and column counts. If
 full ~= floor + compute the pipeline is serialized; if full ~= max(floor,
 compute) the DMA overlaps compute and the kernel is bound by the larger.
+(Resolved in round 5b: bench/overlap_probe.py measured full ~= max in
+every production-shaped variant — the kernel is COMPUTE-bound and the
+floor hides fully under the VPU time; docs/PERFORMANCE.md "The overlap
+verdict".)
 
 Timing methodology matches bench.py: iterations chained in one jitted
 fori_loop, dispatch floor subtracted, sync on a tiny on-device slice.
